@@ -1,0 +1,218 @@
+"""Typed configuration tree.
+
+The reference's single config mechanism is parelag::ParameterList parsed
+from XML (reference: examples/MLMC.cpp:61-81, master list
+examples/example_parameterlists/example_parameters.xml). We provide:
+
+* `ProblemConfig` - a typed dataclass mirroring the "Problem parameters"
+  sublist plus solver selections, with the same defaults as the reference's
+  in-code test parameters (examples/example_helpers/CreateMLMCParameterList.hpp).
+* `ParameterList` - a light hierarchical dict with `sublist`/`get` semantics.
+* `read_xml_parameterlist` - reads the reference's SimpleXML format so
+  existing XML files keep working.
+* `ProblemConfig.from_parameterlist` - maps the reference key names onto the
+  typed config.
+
+Solver configs replace the reference's runtime "Preconditioner Library"
+(example_parameters.xml:168-913) with a small catalog of jitted batched
+solvers selected by name: "cg-mg" (PCG + geometric multigrid V-cycle),
+"cg-jacobi", and "minres-bj" (block-diagonal preconditioned MINRES for the
+Darcy saddle system).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+class ParameterList(dict):
+    """Hierarchical key-value list with reference-compatible accessors."""
+
+    def sublist(self, name: str, create: bool = True) -> "ParameterList":
+        if name not in self:
+            if not create:
+                raise KeyError(name)
+            self[name] = ParameterList()
+        return self[name]
+
+    def get(self, name: str, default: Any = None) -> Any:  # type: ignore[override]
+        return dict.get(self, name, default)
+
+
+def _parse_value(type_str: str, value: str) -> Any:
+    t = type_str.strip().lower()
+    v = value.strip()
+    if t in ("int", "integer"):
+        return int(v)
+    if t in ("double", "float"):
+        return float(v)
+    if t in ("bool", "boolean"):
+        return v.lower() in ("true", "1", "yes")
+    if t.startswith("vector"):
+        inner = t.split("(")[-1].rstrip(")")
+        parts = v.split()
+        if "int" in inner:
+            return [int(p) for p in parts]
+        if "double" in inner or "float" in inner:
+            return [float(p) for p in parts]
+        return parts
+    return v
+
+
+def read_xml_parameterlist(path_or_str: str) -> ParameterList:
+    """Read the reference's SimpleXML ParameterList format:
+    <ParameterList name="..."> <Parameter name=".." type=".." value=".."/> ...
+    """
+    try:
+        tree = ET.parse(path_or_str)
+        root = tree.getroot()
+    except (OSError, ET.ParseError):
+        root = ET.fromstring(path_or_str)
+
+    def walk(node: ET.Element) -> ParameterList:
+        out = ParameterList()
+        for child in node:
+            tag = child.tag.lower()
+            if tag == "parameterlist":
+                out[child.attrib.get("name", "")] = walk(child)
+            elif tag == "parameter":
+                out[child.attrib["name"]] = _parse_value(
+                    child.attrib.get("type", "string"), child.attrib.get("value", "")
+                )
+        return out
+
+    if root.tag.lower() == "parameterlist":
+        return walk(root)
+    # Wrapper element containing a single ParameterList.
+    for child in root:
+        if child.tag.lower() == "parameterlist":
+            return walk(child)
+    return walk(root)
+
+
+@dataclass
+class SolverConfig:
+    """Batched iterative solver selection (replaces the reference's
+    Preconditioner Library entries, see module docstring)."""
+
+    name: str = "cg-mg"  # "cg-mg" | "cg-jacobi" | "minres-bj"
+    max_iterations: int = 300
+    relative_tolerance: float = 1e-6
+    absolute_tolerance: float = 1e-12
+    # Multigrid options.
+    smoother_iterations: int = 2
+    chebyshev_order: int = 3
+    coarse_dense_cutoff: int = 5000  # dense-factorize coarsest <= this size
+
+
+@dataclass
+class ProblemConfig:
+    """Top-level problem configuration.
+
+    Defaults reproduce the reference's built-in test parameters
+    (examples/example_helpers/CreateMLMCParameterList.hpp:29-53): the 4x4x4
+    hex cube of side 2 refined twice (3 levels), SPDE sampler, correlation
+    length 0.1, log-normal, effective-permeability QoI.
+    """
+
+    # Mesh / hierarchy.
+    mesh: str = "box"  # "box" | "spe10" | "egg" or a path to an MFEM mesh
+    ncells: Tuple[int, ...] = (4, 4, 4)
+    lengths: Tuple[float, ...] = (2.0, 2.0, 2.0)
+    refinements: int = 2  # levels = refinements + 1 (geometric coarsening)
+    nlevels: Optional[int] = None
+
+    # Uncertainty model.
+    sampler_name: str = "pde"  # "pde" | "analytic" | "matern"
+    correlation_length: float = 0.1
+    variance: float = 1.0
+    lognormal: bool = True
+    number_of_modes: int = 10  # KLE truncation
+
+    # Embedding.
+    embedding: str = "none"  # "none" | "matching" | "projection"
+    n_buffer: Tuple[int, ...] = (1,)
+
+    # Boundary conditions / QoI (MFEM attribute convention).
+    qoi: str = "eff_perm"  # "eff_perm" | "p_int" | "local_avg_p"
+    ess_attr: Tuple[int, ...] = (0, 1, 1, 1, 1, 0)
+    obs_attr: Tuple[int, ...] = (1, 0, 0, 0, 0, 0)
+    inflow_attr: Tuple[int, ...] = (0, 0, 0, 0, 0, 1)
+    qoi_point: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    qoi_eps: float = 0.1
+
+    # MC manager.
+    mse: float = 1.0e-3
+    mse_splitting_ratio: float = 0.5
+    initial_samples: int = 10
+    initial_samples_per_level: Optional[List[int]] = None
+    output_filename: str = "MLMC.dat"
+    cost_model: str = "walltime"  # "walltime" | "dofs"
+
+    # Batching / devices.
+    batch_size: int = 32
+    dtype: str = "float32"  # device dtype; host verification can use float64
+    seed: int = 0
+
+    # Solvers.
+    sampler_solver: SolverConfig = field(default_factory=SolverConfig)
+    darcy_solver: SolverConfig = field(
+        default_factory=lambda: SolverConfig(name="minres-bj", max_iterations=500)
+    )
+
+    verbose: bool = False
+
+    def __post_init__(self) -> None:
+        if self.nlevels is None:
+            self.nlevels = self.refinements + 1
+
+    @property
+    def dim(self) -> int:
+        return len(self.ncells)
+
+    @classmethod
+    def from_parameterlist(cls, plist: ParameterList) -> "ProblemConfig":
+        """Map the reference's XML key names onto the typed config."""
+        prob = plist.sublist("Problem parameters", create=True)
+        cfg = cls()
+        kw: Dict[str, Any] = {}
+        if "Correlation length" in prob:
+            kw["correlation_length"] = prob["Correlation length"]
+        if "Variance" in prob:
+            kw["variance"] = prob["Variance"]
+        if "Lognormal" in prob:
+            kw["lognormal"] = prob["Lognormal"]
+        if "Sampler name" in prob:
+            kw["sampler_name"] = prob["Sampler name"]
+        if "Number of modes" in prob:
+            kw["number_of_modes"] = prob["Number of modes"]
+        if "Parallel refinement levels" in prob or "Serial refinement levels" in prob:
+            kw["refinements"] = int(prob.get("Parallel refinement levels", 0)) + int(
+                prob.get("Serial refinement levels", 0)
+            )
+            kw["nlevels"] = None
+        if "Mean square error" in prob:
+            kw["mse"] = prob["Mean square error"]
+        if "MSE splitting ratio" in prob:
+            kw["mse_splitting_ratio"] = prob["MSE splitting ratio"]
+        if "Number of samples" in prob:
+            kw["initial_samples"] = prob["Number of samples"]
+        if "Output filename for MC managers" in prob:
+            kw["output_filename"] = prob["Output filename for MC managers"]
+        if "Quantity of interest" in prob:
+            kw["qoi"] = prob["Quantity of interest"]
+        if "Essential attributes" in prob:
+            kw["ess_attr"] = tuple(prob["Essential attributes"])
+        if "Observational attributes" in prob:
+            kw["obs_attr"] = tuple(prob["Observational attributes"])
+        if "Inflow attributes" in prob:
+            kw["inflow_attr"] = tuple(prob["Inflow attributes"])
+        if "Local average pressure QoI spatial point" in prob:
+            kw["qoi_point"] = tuple(prob["Local average pressure QoI spatial point"])
+        if "Epsilon for local average pressure QoI" in prob:
+            kw["qoi_eps"] = prob["Epsilon for local average pressure QoI"]
+        if "Verbosity" in prob:
+            kw["verbose"] = prob["Verbosity"]
+        return replace(cfg, **kw)
