@@ -1,0 +1,240 @@
+"""Batched iterative Krylov solvers with convergence masking.
+
+These replace the reference's runtime SolverLibrary (hypre MINRES/CG with
+AMG-type preconditioners, selected by name from the XML Preconditioner
+Library - reference: src/PDESampler.cpp:286-317, src/DarcySolver.cpp:562-649).
+On TPU the economics are different: one Krylov iteration applied to a
+*batch* of right-hand sides costs barely more than to one, so we run all
+samples of a batch through the same fixed-shape iteration and mask
+converged columns instead of stopping them individually (SURVEY.md 7.3
+hard-part #1).
+
+Conventions:
+* Vectors have shape (..., n): arbitrary leading batch dims, dof axis last.
+* `apply` and `prec` are closures over the (static) operators, mapping
+  (..., n) -> (..., n).
+* Convergence: ||r||_2 <= max(rtol * ||b||_2, atol), per batch element.
+* The loop is a lax.while_loop bounded by max_iters; it exits early when
+  every batch element has converged (fixed shapes, dynamic trip count -
+  XLA-friendly).
+
+Both methods return (x, info) where info holds iterations taken and final
+relative residuals for observability (reference prints per-solve residual
+norms when verbose, src/DarcySolver.cpp:603-648).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveInfo(NamedTuple):
+    iterations: jnp.ndarray  # scalar int32: iterations executed
+    residual: jnp.ndarray  # (...,) final |r| / |b|
+    converged: jnp.ndarray  # (...,) bool
+
+
+def _vdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1)
+
+
+def pcg(
+    apply_A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    prec: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    x0: Optional[jnp.ndarray] = None,
+    max_iters: int = 300,
+    rtol: float = 1e-6,
+    atol: float = 1e-12,
+):
+    """Preconditioned conjugate gradients for SPD systems, batched."""
+    if prec is None:
+        prec = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_A(x) if x0 is not None else b
+    z = prec(r)
+    p = z
+    rz = _vdot(r, z)
+    b_norm = jnp.sqrt(_vdot(b, b))
+    thresh = jnp.maximum(rtol * b_norm, atol)
+    rn = jnp.sqrt(_vdot(r, r))
+
+    def cond(state):
+        it, x, r, p, rz, rn = state
+        return (it < max_iters) & jnp.any(rn > thresh)
+
+    def body(state):
+        it, x, r, p, rz, rn = state
+        active = rn > thresh
+        Ap = apply_A(p)
+        pAp = _vdot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+        alpha = jnp.where(active, alpha, 0.0)[..., None]
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = _vdot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = z + jnp.where(active, beta, 0.0)[..., None] * p
+        rn = jnp.sqrt(_vdot(r, r))
+        return it + 1, x, r, p, rz_new, rn
+
+    it0 = jnp.zeros((), dtype=jnp.int32)
+    it, x, r, p, rz, rn = jax.lax.while_loop(cond, body, (it0, x, r, p, rz, rn))
+    rel = rn / jnp.where(b_norm == 0, 1.0, b_norm)
+    return x, SolveInfo(it, rel, rn <= thresh)
+
+
+def minres(
+    apply_A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    prec: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    x0: Optional[jnp.ndarray] = None,
+    max_iters: int = 500,
+    rtol: float = 1e-6,
+    atol: float = 1e-12,
+):
+    """Preconditioned MINRES (Paige-Saunders) for symmetric indefinite
+    systems with an SPD preconditioner, batched.
+
+    Used for the Darcy saddle-point system [[M(k), B^T], [B, 0]] with a
+    block-diagonal SPD preconditioner (the reference's MINRES-BJ-GS
+    configuration: examples/example_helpers/CreateMLMCParameterList.hpp).
+    """
+    if prec is None:
+        prec = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r1 = b - apply_A(x) if x0 is not None else b
+    y = prec(r1)
+    beta1 = jnp.sqrt(jnp.maximum(_vdot(r1, y), 0.0))
+    b_norm = jnp.sqrt(_vdot(b, b))
+    thresh = jnp.maximum(rtol * b_norm, atol)
+
+    eps = jnp.asarray(1e-30, dtype=b.dtype)
+
+    def safe_div(a, d):
+        return a / jnp.where(jnp.abs(d) < eps, eps, d)
+
+    # Lanczos + Givens state, all batched over leading dims of b.
+    state = dict(
+        it=jnp.zeros((), dtype=jnp.int32),
+        x=x,
+        r1=r1,  # v_{k-1} * beta_{k-1} (unpreconditioned)
+        r2=r1,  # v_k * beta_k
+        y=y,
+        beta=beta1,
+        beta_prev=jnp.ones_like(beta1),  # placeholder; unused until it > 0
+        dbar=jnp.zeros_like(beta1),
+        epsln=jnp.zeros_like(beta1),
+        cs=-jnp.ones_like(beta1),
+        sn=jnp.zeros_like(beta1),
+        w=jnp.zeros_like(b),
+        w2=jnp.zeros_like(b),
+        phibar=beta1,
+    )
+
+    def cond(s):
+        return (s["it"] < max_iters) & jnp.any(s["phibar"] > thresh)
+
+    def body(s):
+        active = s["phibar"] > thresh
+        v = s["y"] * safe_div(jnp.ones_like(s["beta"]), s["beta"])[..., None]
+        yv = apply_A(v)
+        shift = safe_div(s["beta"], s["beta_prev"])
+        yv = jnp.where(
+            (s["it"] > 0), yv - shift[..., None] * s["r1"], yv
+        )
+        alfa = _vdot(v, yv)
+        yv = yv - safe_div(alfa, s["beta"])[..., None] * s["r2"]
+        r1_new = s["r2"]
+        r2_new = yv
+        y_new = prec(yv)
+        beta_new = jnp.sqrt(jnp.maximum(_vdot(yv, y_new), 0.0))
+
+        # Apply previous rotation.
+        oldeps = s["epsln"]
+        delta = s["cs"] * s["dbar"] + s["sn"] * alfa
+        gbar = s["sn"] * s["dbar"] - s["cs"] * alfa
+        epsln_new = s["sn"] * beta_new
+        dbar_new = -s["cs"] * beta_new
+
+        # New rotation.
+        gamma = jnp.sqrt(gbar * gbar + beta_new * beta_new)
+        gamma = jnp.maximum(gamma, eps)
+        cs_new = gbar / gamma
+        sn_new = beta_new / gamma
+        phi = cs_new * s["phibar"]
+        phibar_new = sn_new * s["phibar"]
+
+        denom = safe_div(jnp.ones_like(gamma), gamma)
+        w1 = s["w2"]
+        w2 = s["w"]
+        w_new = (v - oldeps[..., None] * w1 - delta[..., None] * w2) * denom[
+            ..., None
+        ]
+        x_new = s["x"] + phi[..., None] * w_new
+
+        # Gate updates for converged batch elements.
+        g = active[..., None]
+        ga = active
+        out = dict(
+            it=s["it"] + 1,
+            x=jnp.where(g, x_new, s["x"]),
+            r1=jnp.where(g, r1_new, s["r1"]),
+            r2=jnp.where(g, r2_new, s["r2"]),
+            y=jnp.where(g, y_new, s["y"]),
+            beta=jnp.where(ga, beta_new, s["beta"]),
+            beta_prev=jnp.where(ga, s["beta"], s["beta_prev"]),
+            dbar=jnp.where(ga, dbar_new, s["dbar"]),
+            epsln=jnp.where(ga, epsln_new, s["epsln"]),
+            cs=jnp.where(ga, cs_new, s["cs"]),
+            sn=jnp.where(ga, sn_new, s["sn"]),
+            w=jnp.where(g, w_new, s["w"]),
+            w2=jnp.where(g, w2, s["w2"]),
+            phibar=jnp.where(ga, phibar_new, s["phibar"]),
+        )
+        return out
+
+    s = jax.lax.while_loop(cond, body, state)
+    rel = s["phibar"] / jnp.where(b_norm == 0, 1.0, b_norm)
+    return s["x"], SolveInfo(s["it"], rel, s["phibar"] <= thresh)
+
+
+def chebyshev(
+    apply_A: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    lam_max: jnp.ndarray,
+    lam_min_frac: float = 1.0 / 30.0,
+    order: int = 5,
+    x0: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fixed-order Chebyshev iteration approximating A^{-1} b on the
+    spectral interval [lam_min_frac*lam_max, lam_max].
+
+    `lam_max` is batched (per-sample upper bounds, e.g. infinity-norm row
+    sums of a per-sample operator). Being a fixed polynomial in A, this is a
+    *linear* operator in b - safe as a MINRES/CG preconditioner.
+    """
+    lmax = lam_max
+    lmin = lam_min_frac * lam_max
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - apply_A(x) if x0 is not None else b
+    # Standard Chebyshev recurrence (Saad, Iterative Methods, alg. 12.1).
+    alpha = jnp.where(theta == 0, 0.0, 1.0 / jnp.where(theta == 0, 1.0, theta))
+    d = alpha[..., None] * r
+    sigma = theta / jnp.where(delta == 0, 1.0, delta)
+    rho = 1.0 / sigma
+    for _ in range(order):
+        x = x + d
+        r = r - apply_A(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho)[..., None] * d + (
+            2.0 * rho_new / jnp.where(delta == 0, 1.0, delta)
+        )[..., None] * r
+        rho = rho_new
+    return x

@@ -1,0 +1,155 @@
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.fem import build_geometric_hierarchy, build_mixed_level
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.ops.ell import (
+    coef_diag_structure,
+    coef_ell_apply,
+    ell_apply,
+    pack_coef_ell,
+    pack_csr_to_ell,
+)
+from parelagmc_tpu.ops.multigrid import build_mg_hierarchy, make_preconditioner
+from parelagmc_tpu.ops.solvers import chebyshev, minres, pcg
+
+DT = jnp.float64
+
+
+def random_spd(n, rng):
+    A = rng.normal(size=(n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_ell_apply_matches_scipy():
+    rng = np.random.default_rng(0)
+    A = sp.random(50, 50, density=0.1, random_state=0, format="csr")
+    ell = pack_csr_to_ell(A, DT)
+    x = rng.normal(size=(3, 50))
+    y = ell_apply(ell, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), x @ A.T.toarray(), atol=1e-12)
+
+
+def test_coef_ell_matches_scipy_mass():
+    m = make_box_mesh((3, 3, 2), lengths=(1.0, 2.0, 1.0))
+    lvl = build_mixed_level(m)
+    rng = np.random.default_rng(1)
+    c = np.exp(rng.normal(size=(4, lvl.n_s)))
+    x = rng.normal(size=(4, lvl.n_u))
+    op = pack_coef_ell(lvl.m_cols, lvl.m_vals, lvl.m_cells, DT)
+    y = coef_ell_apply(op, jnp.asarray(c), jnp.asarray(x))
+    for b in range(4):
+        ref = lvl.mass_csr(c[b]) @ x[b]
+        np.testing.assert_allclose(np.asarray(y[b]), ref, atol=1e-12)
+    # Diagonal structure.
+    dg = coef_diag_structure(lvl.m_cols, lvl.m_vals, lvl.m_cells, DT)
+    d = dg(jnp.asarray(c))
+    for b in range(4):
+        np.testing.assert_allclose(
+            np.asarray(d[b]), lvl.mass_csr(c[b]).diagonal(), atol=1e-12
+        )
+
+
+def test_pcg_batched_vs_dense():
+    rng = np.random.default_rng(2)
+    n, batch = 40, 5
+    A = random_spd(n, rng)
+    b = rng.normal(size=(batch, n))
+    Aj = jnp.asarray(A)
+    apply_A = lambda x: x @ Aj.T
+    x, info = pcg(apply_A, jnp.asarray(b), max_iters=200, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(x), b @ np.linalg.inv(A).T, atol=1e-7)
+    assert bool(info.converged.all())
+
+
+def test_pcg_jacobi_prec():
+    rng = np.random.default_rng(3)
+    n = 30
+    A = random_spd(n, rng) + np.diag(np.linspace(1, 1000, n))
+    d = 1.0 / np.diag(A)
+    b = rng.normal(size=(2, n))
+    apply_A = lambda x: x @ jnp.asarray(A).T
+    prec = lambda r: r * jnp.asarray(d)
+    x, info = pcg(apply_A, jnp.asarray(b), prec=prec, max_iters=300, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(x), b @ np.linalg.inv(A).T, atol=1e-7)
+
+
+def test_minres_saddle_vs_dense():
+    rng = np.random.default_rng(4)
+    nu, ns = 25, 10
+    M = random_spd(nu, rng)
+    B = rng.normal(size=(ns, nu))
+    A = np.block([[M, B.T], [B, np.zeros((ns, ns))]])
+    b = rng.normal(size=(3, nu + ns))
+    apply_A = lambda x: x @ jnp.asarray(A).T
+    x, info = minres(apply_A, jnp.asarray(b), max_iters=400, rtol=1e-12)
+    ref = b @ np.linalg.inv(A).T
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-6)
+    assert bool(info.converged.all())
+
+
+def test_minres_with_spd_prec():
+    rng = np.random.default_rng(5)
+    nu, ns = 20, 8
+    M = random_spd(nu, rng)
+    B = rng.normal(size=(ns, nu))
+    A = np.block([[M, B.T], [B, np.zeros((ns, ns))]])
+    S = B @ np.linalg.inv(np.diag(np.diag(M))) @ B.T
+    P = np.block(
+        [
+            [np.diag(1.0 / np.diag(M)), np.zeros((nu, ns))],
+            [np.zeros((ns, nu)), np.linalg.inv(S)],
+        ]
+    )
+    b = rng.normal(size=(2, nu + ns))
+    apply_A = lambda x: x @ jnp.asarray(A).T
+    prec = lambda r: r @ jnp.asarray(P).T
+    x, info = minres(apply_A, jnp.asarray(b), prec=prec, max_iters=300, rtol=1e-11)
+    ref = b @ np.linalg.inv(A).T
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-5)
+
+
+def p0_laplacian(lvl, ess_attr):
+    """Approximate pressure Schur complement S = B diag(M)^{-1} B^T with
+    essential velocity dofs removed (the Darcy preconditioner operator)."""
+    ess = lvl.ess_faces(ess_attr)
+    M = lvl.mass_csr()
+    dinv = sp.diags(np.where(ess, 0.0, 1.0 / M.diagonal()))
+    B = lvl.b_csr()
+    return (B @ dinv @ B.T).tocsr()
+
+
+def test_mg_pcg_on_p0_laplacian():
+    # Geometric MG with point-Jacobi smoothing on the cell-space Laplacian
+    # (Darcy pressure preconditioner); must converge in few iterations.
+    base = make_box_mesh((4, 4), lengths=(1.0, 1.0))
+    hier = build_geometric_hierarchy(base, 3)
+    ess_attr = np.array([0, 1, 0, 1])  # natural on bottom/top => nonsingular
+    mats = [p0_laplacian(lvl, ess_attr) for lvl in hier.levels]
+    ps = [hier.p_l2(l) for l in range(hier.nlevels - 1)]
+    mg = build_mg_hierarchy(mats, ps, DT)
+    prec = make_preconditioner(mg)
+    rng = np.random.default_rng(6)
+    n = hier.levels[0].n_s
+    b = rng.normal(size=(2, n))
+    apply_A = lambda x: ell_apply(mg.levels[0].A, x)
+    x, info = pcg(apply_A, jnp.asarray(b), prec=prec, max_iters=60, rtol=1e-10)
+    ref = np.linalg.solve(mats[0].toarray(), b.T).T
+    np.testing.assert_allclose(np.asarray(x), ref, atol=1e-7)
+    assert int(info.iterations) < 25  # MG should converge in few iterations
+
+
+def test_chebyshev_reduces_residual():
+    rng = np.random.default_rng(7)
+    n = 30
+    A = random_spd(n, rng)
+    lam_max = jnp.asarray(np.full((2,), np.linalg.eigvalsh(A).max()))
+    b = rng.normal(size=(2, n))
+    apply_A = lambda x: x @ jnp.asarray(A).T
+    x = chebyshev(apply_A, jnp.asarray(b), lam_max, order=10)
+    r = b - np.asarray(x) @ A.T
+    assert np.linalg.norm(r) < 0.5 * np.linalg.norm(b)
