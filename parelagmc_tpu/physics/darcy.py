@@ -1,0 +1,264 @@
+"""Mixed Darcy forward model with per-sample permeability.
+
+TPU-native analog of the reference's DarcySolver
+(/root/reference/src/DarcySolver.{hpp,cpp}): per realization of the
+coefficient field w (the velocity mass weight - the reference passes the
+sampler output directly to ComputeMassOperator(uform, k),
+src/DarcySolver.cpp:479), solve
+
+    [[M(w), B^T], [B, 0]] [u; p~] = [rhs_u; rhs_p],
+
+with essential velocity BCs (u.n fixed) on selected boundary attributes and
+weak pressure data on the rest. We use the p~ = -p convention so the system
+is symmetric with +B^T (matching the reference's block signs,
+src/DarcySolver.cpp:481-485); all built-in QoIs are linear functionals of
+(u, p~) and reproduce the reference's values.
+
+Per-sample solve: batched preconditioned MINRES with the block-diagonal SPD
+preconditioner
+
+    P = diag( diag(M(w))^{-1},  w_bar * S(1)^{-1} ),
+
+where S(1) = B M(1)^{-1} B^T is the *exact* reference-coefficient pressure
+Schur complement applied by the tensor-product spectral solver
+(ops/tensorsolve.py) and w_bar is the per-sample geometric mean of w (the
+first-order scaling of S(w)^{-1}). This replaces the reference's
+rebuild-AMG-per-sample MINRES-BJ-GS configuration
+(src/DarcySolver.cpp:562-649): the preconditioner here is sample-independent
+up to a scalar, so nothing is rebuilt inside the hot loop.
+
+QoI functionals (reference src/DarcySolver.cpp:246-358), assembled on the
+finest level and restricted through P^T exactly like the reference:
+* eff_perm    - boundary flux through the observation boundary,
+* p_int       - volume integral of pressure,
+* local_avg_p - integral of pressure over cells marked near a point.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem.hierarchy import GeometricHierarchy
+from parelagmc_tpu.ops.ell import (
+    CoefELL,
+    DiagCoef,
+    coef_diag_structure,
+    coef_ell_apply,
+    pack_coef_ell,
+)
+from parelagmc_tpu.ops.solvers import SolveInfo, minres
+from parelagmc_tpu.ops.tensorsolve import TensorEig, build_tensor_solver, tensor_solve
+
+
+class DarcyLevel(NamedTuple):
+    n_u: int
+    n_s: int
+    m_op: CoefELL  # masked velocity mass (ess rows/cols zeroed)
+    m_diag: DiagCoef  # masked diagonal structure
+    ess: jnp.ndarray  # (n_u,) bool
+    cell_faces: jnp.ndarray  # (n_s, 2d) int32
+    cell_signs: jnp.ndarray  # (n_s, 2d) masked signs (ess cols zeroed)
+    face_cells: jnp.ndarray  # (n_u, 2) int32
+    face_signs: jnp.ndarray  # (n_u, 2) masked signs (ess rows zeroed)
+    rhs: jnp.ndarray  # (n_u + n_s,)
+    obs_func: jnp.ndarray  # (n_u + n_s,)
+    schur: TensorEig  # exact S(1) factors (alpha = 0, Darcy BCs)
+
+
+class DarcySolver:
+    def __init__(
+        self,
+        hierarchy: GeometricHierarchy,
+        config: ProblemConfig,
+        dtype=jnp.float32,
+    ):
+        self.hierarchy = hierarchy
+        self.config = config
+        self.dtype = dtype
+        d = hierarchy.levels[0].dim
+        self.ndim = d
+        nb = 2 * d
+        ess_attr = np.asarray(config.ess_attr[:nb], dtype=np.int64)
+        obs_attr = np.asarray(config.obs_attr[:nb], dtype=np.int64)
+        inflow_attr = np.asarray(config.inflow_attr[:nb], dtype=np.int64)
+
+        # --- finest-level functionals, then restrict through P^T -----------
+        fine = hierarchy.levels[0]
+        n_u0, n_s0 = fine.n_u, fine.n_s
+        bdr = fine.bdr_attr  # (n_u,) 0 = interior
+        outward = self._outward_sign(fine)
+
+        rhs_u0 = np.zeros(n_u0)
+        on_inflow = (bdr > 0) & (inflow_attr[np.maximum(bdr - 1, 0)] == 1)
+        # rhs_u[f] = -p_bar * outward_sign with the reference's inflow
+        # pressure coefficient -1 => p_bar = +1 on the inflow boundary
+        # (reference: examples/MLMC.cpp:227-239 BuildForcingTerms with
+        # pinflow_coeff = -1; VectorFEBoundaryFluxLFIntegrator semantics).
+        rhs_u0[on_inflow] = -1.0 * outward[on_inflow]
+        rhs0 = np.concatenate([rhs_u0, np.zeros(n_s0)])
+
+        obs0 = np.zeros(n_u0 + n_s0)
+        if config.qoi == "eff_perm":
+            on_obs = (bdr > 0) & (obs_attr[np.maximum(bdr - 1, 0)] == 1)
+            obs0[:n_u0][on_obs] = outward[on_obs]
+        elif config.qoi == "p_int":
+            # integral of the physical pressure p = -p~.
+            obs0[n_u0:] = -fine.W
+        elif config.qoi == "local_avg_p":
+            mesh0 = fine.mesh
+            mask = (
+                np.abs(
+                    mesh0.cell_centers() - np.asarray(config.qoi_point)[None, :d]
+                ).max(axis=1)
+                <= config.qoi_eps
+            )
+            obs0[n_u0:] = np.where(mask, -fine.W, 0.0)
+        else:
+            raise ValueError(f"unknown QoI '{config.qoi}'")
+
+        # Restrict rhs/obs by the exact block prolongator transpose.
+        rhs_np: List[np.ndarray] = [rhs0]
+        obs_np: List[np.ndarray] = [obs0]
+        for l in range(hierarchy.nlevels - 1):
+            P_rt = hierarchy.P_rt[l]
+            P_l2 = hierarchy.p_l2(l)
+            for vecs in (rhs_np, obs_np):
+                vu = P_rt.T @ vecs[l][: hierarchy.levels[l].n_u]
+                vp = P_l2.T @ vecs[l][hierarchy.levels[l].n_u:]
+                vecs.append(np.concatenate([vu, vp]))
+
+        # --- per-level device operators -------------------------------------
+        self.levels: List[DarcyLevel] = []
+        for l, lvl in enumerate(hierarchy.levels):
+            ess = lvl.ess_faces(ess_attr)
+            m_vals = lvl.m_vals.copy()
+            m_vals[ess, :] = 0.0
+            col_is_ess = ess[lvl.m_cols]
+            m_vals = np.where(col_is_ess, 0.0, m_vals)
+            cell_signs = np.where(ess[lvl.cell_faces], 0.0, lvl.cell_signs)
+            face_signs = lvl.face_signs.copy()
+            face_signs[ess, :] = 0.0
+            rhs_l = rhs_np[l].copy()
+            rhs_l[: lvl.n_u][ess] = 0.0  # zero essential data (reference default)
+            self.levels.append(
+                DarcyLevel(
+                    n_u=lvl.n_u,
+                    n_s=lvl.n_s,
+                    m_op=pack_coef_ell(lvl.m_cols, m_vals, lvl.m_cells, dtype),
+                    m_diag=coef_diag_structure(lvl.m_cols, m_vals, lvl.m_cells, dtype),
+                    ess=jnp.asarray(ess),
+                    cell_faces=jnp.asarray(lvl.cell_faces, dtype=jnp.int32),
+                    cell_signs=jnp.asarray(cell_signs, dtype=dtype),
+                    face_cells=jnp.asarray(lvl.face_cells, dtype=jnp.int32),
+                    face_signs=jnp.asarray(face_signs, dtype=dtype),
+                    rhs=jnp.asarray(rhs_l, dtype=dtype),
+                    obs_func=jnp.asarray(obs_np[l], dtype=dtype),
+                    schur=build_tensor_solver(
+                        lvl.mesh, 0.0, ess_attr=ess_attr, dtype=dtype
+                    ),
+                )
+            )
+        self.solver_cfg = config.darcy_solver
+
+    @staticmethod
+    def _outward_sign(lvl) -> np.ndarray:
+        """Outward-normal sign of every boundary face's +axis dof."""
+        mesh = lvl.mesh
+        out = np.zeros(lvl.n_u)
+        d = mesh.dim
+        for a in range(d):
+            shape = mesh.face_grid_shape(a)
+            grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+            i_a = grids[a].ravel(order="F")
+            fidx = mesh.face_offsets[a] + np.arange(int(np.prod(shape)))
+            out[fidx[i_a == 0]] = -1.0
+            out[fidx[i_a == shape[a] - 1]] = +1.0
+        return out
+
+    # -- operator / preconditioner closures -----------------------------------
+    def _apply_A(self, L: DarcyLevel, w: jnp.ndarray):
+        ess = L.ess
+
+        def apply_A(x: jnp.ndarray) -> jnp.ndarray:
+            u, p = x[..., : L.n_u], x[..., L.n_u:]
+            Mu = coef_ell_apply(L.m_op, w, u)
+            Btp = jnp.sum(
+                jnp.take(p, L.face_cells.reshape(-1), axis=-1).reshape(
+                    p.shape[:-1] + L.face_cells.shape
+                )
+                * L.face_signs,
+                axis=-1,
+            )
+            yu = Mu + Btp
+            yu = jnp.where(ess, u, yu)  # identity rows at essential dofs
+            Bu = jnp.sum(
+                jnp.take(u, L.cell_faces.reshape(-1), axis=-1).reshape(
+                    u.shape[:-1] + L.cell_faces.shape
+                )
+                * L.cell_signs,
+                axis=-1,
+            )
+            return jnp.concatenate([yu, Bu], axis=-1)
+
+        return apply_A
+
+    def _prec(self, L: DarcyLevel, w: jnp.ndarray):
+        dM = L.m_diag(w)
+        dM = jnp.where(L.ess, 1.0, dM)
+        inv_dM = 1.0 / dM
+        # Geometric-mean scaling of the reference-coefficient Schur inverse:
+        # S(w)^{-1} ~ w_bar S(1)^{-1} to first order.
+        w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+
+        def prec(r: jnp.ndarray) -> jnp.ndarray:
+            ru, rp = r[..., : L.n_u], r[..., L.n_u:]
+            zu = ru * inv_dM
+            zp = w_bar * tensor_solve(L.schur, rp)
+            return jnp.concatenate([zu, zp], axis=-1)
+
+        return prec
+
+    # -- public API ------------------------------------------------------------
+    def num_dofs(self, level: int) -> int:
+        L = self.levels[level]
+        return L.n_u + L.n_s
+
+    def nnz(self, level: int) -> int:
+        L = self.levels[level]
+        return int(np.sum(np.asarray(L.m_op.mvals) != 0)) + 2 * int(
+            np.sum(np.asarray(L.cell_signs) != 0)
+        )
+
+    def solve_fwd(
+        self, level: int, w: jnp.ndarray, return_pressure: bool = False
+    ):
+        """Solve the Darcy problem for a batch of coefficient fields w
+        (shape (..., n_s)). Returns (Q, cost, info[, p]).
+
+        Q is the QoI functional value per sample; cost is the global dof
+        count (the reference's C, src/DarcySolver.cpp:429).
+        """
+        L = self.levels[level]
+        apply_A = self._apply_A(L, w)
+        prec = self._prec(L, w)
+        b = jnp.broadcast_to(L.rhs, w.shape[:-1] + L.rhs.shape)
+        x, info = minres(
+            apply_A,
+            b,
+            prec=prec,
+            max_iters=self.solver_cfg.max_iterations,
+            rtol=self.solver_cfg.relative_tolerance,
+            atol=self.solver_cfg.absolute_tolerance,
+        )
+        Q = jnp.sum(x * L.obs_func, axis=-1)
+        cost = float(L.n_u + L.n_s)
+        if return_pressure:
+            # Physical pressure p = -p~.
+            return Q, cost, info, -x[..., L.n_u:]
+        return Q, cost, info

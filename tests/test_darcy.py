@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem import build_geometric_hierarchy
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.physics import DarcySolver
+
+DT = jnp.float64
+
+
+def golden_setup(nlevels=2, base=(4, 4, 4), qoi="eff_perm"):
+    mesh = make_box_mesh(base, lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, nlevels)
+    cfg = ProblemConfig(refinements=nlevels - 1, qoi=qoi)
+    cfg.darcy_solver.relative_tolerance = 1e-10
+    return hier, DarcySolver(hier, cfg, DT)
+
+
+def dense_saddle_solve(hier, solver, level, w):
+    """Oracle: dense solve of the constrained saddle system."""
+    lvl = hier.levels[level]
+    ess = np.asarray(solver.levels[level].ess)
+    M = lvl.mass_csr(w).toarray()
+    B = lvl.b_csr().toarray()
+    n_u, n_s = lvl.n_u, lvl.n_s
+    A = np.zeros((n_u + n_s, n_u + n_s))
+    A[:n_u, :n_u] = M
+    A[:n_u, n_u:] = B.T
+    A[n_u:, :n_u] = B
+    # Eliminate essential rows/cols to identity.
+    for i in np.nonzero(ess)[0]:
+        A[i, :] = 0.0
+        A[:, i] = 0.0
+        A[i, i] = 1.0
+    b = np.asarray(solver.levels[level].rhs, dtype=np.float64)
+    return np.linalg.solve(A, b)
+
+
+def test_deterministic_unit_coefficient_qoi():
+    # k = 1: analytic effective permeability through the cube of side 2 with
+    # p=1 on top, p=0 on bottom is Q = area * dp/L = 4 * 1/2 = 2, and RT0/P0
+    # on tensor grids reproduces it exactly. This is the reference's
+    # DarcyDeterministicTest analog (examples/CMakeLists.txt:62-66).
+    hier, solver = golden_setup(nlevels=3, base=(2, 2, 2))
+    for level in range(3):
+        w = jnp.ones((1, hier.levels[level].n_s), dtype=DT)
+        Q, cost, info = solver.solve_fwd(level, w)
+        np.testing.assert_allclose(np.asarray(Q), 2.0, rtol=1e-8)
+        assert bool(info.converged.all())
+    # Dof counts at the golden sizes (base 4^3 + 2 refinements).
+    hier2, solver2 = golden_setup(nlevels=3, base=(4, 4, 4))
+    assert [solver2.num_dofs(l) for l in range(3)] == [17152, 2240, 304]
+
+
+def test_solution_matches_dense_oracle():
+    hier, solver = golden_setup(nlevels=1, base=(3, 3, 3))
+    rng = np.random.default_rng(0)
+    w = np.exp(rng.normal(size=(2, hier.levels[0].n_s)))
+    Q, cost, info, p = solver.solve_fwd(0, jnp.asarray(w), return_pressure=True)
+    assert bool(info.converged.all())
+    for b in range(2):
+        ref = dense_saddle_solve(hier, solver, 0, w[b])
+        n_u = hier.levels[0].n_u
+        np.testing.assert_allclose(np.asarray(p[b]), -ref[n_u:], atol=1e-7)
+        q_ref = float(np.asarray(solver.levels[0].obs_func) @ ref)
+        np.testing.assert_allclose(float(Q[b]), q_ref, atol=1e-8)
+
+
+def test_preconditioner_iteration_count():
+    # The tensor-Schur block preconditioner must keep MINRES iterations
+    # bounded for lognormal coefficients.
+    hier, solver = golden_setup(nlevels=1, base=(8, 8, 8))
+    rng = np.random.default_rng(1)
+    w = np.exp(rng.normal(size=(4, hier.levels[0].n_s)))
+    Q, cost, info = solver.solve_fwd(0, jnp.asarray(w))
+    assert bool(info.converged.all())
+    assert int(info.iterations) < 250
+
+
+def test_p_int_qoi():
+    # Volume-integral-of-pressure QoI: k=1 gives p(z) = z/2 on [0,2]^3
+    # => int p = 8 * 1 = ... cell-centered values sum_i p_i V_i = exact
+    # because p is linear and cell values are exact at centers.
+    hier, solver = golden_setup(nlevels=1, base=(4, 4, 4), qoi="p_int")
+    w = jnp.ones((1, hier.levels[0].n_s), dtype=DT)
+    Q, cost, info = solver.solve_fwd(0, w)
+    # int_{[0,2]^3} z/2 = 8 * mean(z/2) = 8 * 0.5 = 4.
+    np.testing.assert_allclose(np.asarray(Q), 4.0, rtol=1e-8)
+
+
+def test_local_avg_p_qoi():
+    hier, solver = golden_setup(nlevels=1, base=(4, 4, 4), qoi="local_avg_p")
+    w = jnp.ones((1, hier.levels[0].n_s), dtype=DT)
+    Q, cost, info = solver.solve_fwd(0, w)
+    # Marked cells near (0.5, 0.5, 0.5) with eps=0.1: single cell containing
+    # the point has center (0.25k..) - mesh 4^3 on [0,2]: h=0.5, centers at
+    # 0.25,0.75,...; point (0.5,0.5,0.5) is a corner between cells; eps=0.1
+    # doesn't reach any center (distance 0.25) so Q = 0... use eps=0.3.
+    cfg = ProblemConfig(refinements=0, qoi="local_avg_p", qoi_eps=0.3)
+    cfg.darcy_solver.relative_tolerance = 1e-10
+    solver2 = DarcySolver(hier, cfg, DT)
+    Q2, _, _ = solver2.solve_fwd(0, w)
+    # 8 cells with centers at 0.25/0.75 in each axis, all within 0.3 of 0.5.
+    # p at center z: z/2 -> values 0.125 and 0.375, mean 0.25; V = 0.125.
+    np.testing.assert_allclose(np.asarray(Q2), 8 * 0.125 * 0.25, rtol=1e-8)
+
+
+def test_batched_levels_consistency():
+    # Q on coarser levels approaches fine Q (discretization effect is zero
+    # here because flux is exact on all levels for k=1).
+    hier, solver = golden_setup(nlevels=3, base=(2, 2, 2))
+    qs = []
+    for level in range(3):
+        w = jnp.ones((1, hier.levels[level].n_s), dtype=DT)
+        Q, _, _ = solver.solve_fwd(level, w)
+        qs.append(float(Q[0]))
+    np.testing.assert_allclose(qs, 2.0, rtol=1e-8)
