@@ -1,0 +1,125 @@
+"""Benchmark: MLMC sample throughput on the golden Darcy configuration.
+
+Measures samples/sec/chip of the dominant MLMC cost - the finest-level
+coupled pair step (SPDE Matern realization on 16^3 + Darcy solves on 16^3
+and 8^3 + QoI), i.e. the reference's per-sample hot loop
+(/root/reference/src/MLMC_Manager.cpp:144-157) on the golden test problem
+(4^3 hex cube of side 2, refined twice).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": samples/sec/chip, "unit": "samples/s",
+   "vs_baseline": value / (64 * single-core scipy samples/sec)}
+
+The baseline proxy is a direct sparse-LU solve of the same fine+coarse
+saddle systems with scipy on one host core, scaled by 64 to stand in for
+the 64-rank MPI CPU baseline of BASELINE.md (the reference publishes no
+absolute numbers; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.fem import build_geometric_hierarchy
+    from parelagmc_tpu.mesh import make_box_mesh
+    from parelagmc_tpu.physics import DarcySolver
+    from parelagmc_tpu.samplers import SPDESampler
+
+    dtype = jnp.float32
+    nlevels = 3
+    base = make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(base, nlevels)
+    cfg = ProblemConfig(refinements=nlevels - 1, batch_size=256)
+    cfg.darcy_solver.relative_tolerance = 1e-5
+    cfg.darcy_solver.max_iterations = 300
+    sampler = SPDESampler(hier, cfg, dtype)
+    solver = DarcySolver(hier, cfg, dtype)
+    batch = cfg.batch_size
+
+    def pair_step(key):
+        xi = sampler.sample(0, key, batch)
+        s_f = sampler.eval(0, xi)
+        s_c = sampler.eval(1, xi, xi_level=0)
+        qc, _, _ = solver.solve_fwd(1, s_c)
+        q, _, _ = solver.solve_fwd(0, s_f)
+        return q, q - qc
+
+    step = jax.jit(pair_step)
+    key = jax.random.PRNGKey(0)
+    # Warmup/compile.
+    jax.block_until_ready(step(key))
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = step(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    sps = reps * batch / dt
+    q, y = out
+    print(
+        f"# tpu: {reps * batch} samples in {dt:.3f}s -> {sps:.1f} samples/s; "
+        f"E[Q]~{float(np.mean(np.asarray(q))):.4f}",
+        file=sys.stderr,
+    )
+
+    # --- single-core scipy baseline proxy (sparse LU per sample) -----------
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    cpu_sps = _scipy_baseline(hier, solver, nmeas=3)
+    vs = sps / (64.0 * cpu_sps)
+    print(
+        json.dumps(
+            {
+                "metric": "MLMC fine-pair samples/sec/chip (SPDE sampler + Darcy QoI, golden 16^3 config)",
+                "value": round(sps, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+def _scipy_baseline(hier, solver, nmeas: int = 3) -> float:
+    """Reference-style per-sample cost on one CPU core: assemble + sparse-LU
+    the fine and coarse saddle systems per sample."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    rng = np.random.default_rng(0)
+    # Static per-level structures (the reference amortizes these too).
+    static = []
+    for level in (0, 1):
+        lvl = hier.levels[level]
+        ess = np.asarray(solver.levels[level].ess)
+        keep = sp.diags((~ess).astype(np.float64))
+        ident = sp.diags(ess.astype(np.float64))
+        B = (lvl.b_csr() @ keep).tocsr()
+        b = np.asarray(solver.levels[level].rhs, dtype=np.float64)
+        static.append((lvl, keep, ident, B, b))
+    times = []
+    for _ in range(nmeas):
+        t0 = time.perf_counter()
+        for lvl, keep, ident, B, b in static:
+            w = np.exp(rng.normal(size=lvl.n_s))
+            M = keep @ lvl.mass_csr(w) @ keep + ident
+            A = sp.bmat([[M, B.T], [B, None]], format="csc")
+            spla.splu(A).solve(b)
+        times.append(time.perf_counter() - t0)
+    per_sample = float(np.median(times))
+    print(f"# cpu single-core: {per_sample:.4f} s/sample", file=sys.stderr)
+    return 1.0 / per_sample
+
+
+if __name__ == "__main__":
+    main()

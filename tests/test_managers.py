@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem import build_geometric_hierarchy
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.physics import DarcySolver
+from parelagmc_tpu.samplers import SPDESampler
+from parelagmc_tpu.uq import MCManager, MLMCManager
+from parelagmc_tpu.utils.timing import TimeManager
+
+DT = jnp.float64
+
+
+def build_problem(nlevels=3, base=(2, 2, 2), mse=5e-3, tmp_path=None, **kw):
+    mesh = make_box_mesh(base, lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, nlevels)
+    cfg = ProblemConfig(
+        refinements=nlevels - 1,
+        mse=mse,
+        batch_size=16,
+        initial_samples=16,
+        output_filename=str(tmp_path / "mlmc.dat") if tmp_path else "",
+        **kw,
+    )
+    sampler = SPDESampler(hier, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    return hier, sampler, solver, cfg
+
+
+def test_mlmc_run_converges(tmp_path):
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(tmp_path=tmp_path, seed=0)
+    mgr = MLMCManager(solver, sampler, cfg)
+    est = mgr.run()
+    # Estimator variance target met.
+    assert mgr.ml_estimator_variance <= cfg.mse_splitting_ratio * mgr.eps2
+    # Physical range: effective permeability of the lognormal medium on the
+    # side-2 cube; the deterministic k=1 value is 2.0, the random medium is
+    # within a moderate band (reference golden estimate 2.5599 on the finer
+    # golden mesh, examples/CMakeLists.txt:76-80).
+    assert 1.5 < est < 4.0
+    # Telescoping consistency indicator < 1 on all levels (reference
+    # MLMC_Manager.hpp:141-142: > 1 flags identity violation).
+    assert np.all(mgr.consistency[: mgr.nlevels - 1] < 1.0)
+    # Sample log written with one row per sample.
+    rows = (tmp_path / "mlmc.dat").read_text().strip().splitlines()
+    assert len(rows) - 1 == int(mgr.level_nsamples.sum())
+    dash = mgr.show_me()
+    assert "Estimate" in dash and "Kurtosis" in dash
+    mgr.close()
+
+
+def test_mlmc_variance_decay(tmp_path):
+    # Var[Y_l] must decay toward fine levels much below Var[Q_l]
+    # (the whole point of MLMC); with exact-flux k=1 analog the decay is
+    # driven by the coefficient upscaling error.
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(
+        nlevels=2, base=(4, 4, 4), mse=-1.0, tmp_path=tmp_path, seed=1
+    )
+    cfg.initial_samples = 64
+    mgr = MLMCManager(solver, sampler, cfg)
+    mgr.init_run([64, 64])
+    assert mgr.varY[0] < 0.5 * mgr.varQ[0]
+
+
+def test_mc_manager(tmp_path):
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(
+        nlevels=1, base=(4, 4, 4), mse=2e-2, tmp_path=tmp_path, seed=2
+    )
+    mgr = MCManager(solver, sampler, cfg)
+    est = mgr.run()
+    assert mgr.ml_estimator_variance <= cfg.mse_splitting_ratio * mgr.eps2
+    assert 1.5 < est < 4.0
+    assert "SLMC Manager" in mgr.show_me()
+    mgr.close()
+
+
+def test_dofs_cost_model(tmp_path):
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(
+        nlevels=2, base=(2, 2, 2), tmp_path=tmp_path, cost_model="dofs", seed=3
+    )
+    mgr = MLMCManager(solver, sampler, cfg)
+    mgr.init_run([16, 16])
+    # Cost equals accumulated dof counts per sample.
+    assert mgr.cost[1] == solver.num_dofs(1)
+    assert mgr.cost[0] == solver.num_dofs(0) + solver.num_dofs(1)
