@@ -1,0 +1,137 @@
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem import build_geometric_hierarchy
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.samplers.covariance import (
+    AnalyticExponentialCovariance,
+    MaternCovariance,
+    _solve_omegas,
+)
+from parelagmc_tpu.samplers.kl import KLSampler
+
+DT = jnp.float64
+
+
+def test_omega_roots_satisfy_equation():
+    L = 0.3
+    om = _solve_omegas(8, L)
+    assert np.all(np.diff(om) > 0)
+    resid = np.tan(om) - 2 * L * om / (L * L * om * om - 1.0)
+    np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+
+
+def test_analytic_orthogonality_and_variability():
+    mesh = make_box_mesh((16, 16), lengths=(1.0, 1.0))
+    cov = AnalyticExponentialCovariance(mesh, 0.5, (6, 6))
+    cov.solve_eigenvalue()
+    # Discrete sampling of the continuum eigenfunctions: near-orthogonal,
+    # improving with resolution (the reference prints but does not enforce).
+    assert cov.check_orthogonality() < 1e-2
+    # With corlen 0.5 on the unit square, 36 modes capture most variability.
+    frac = cov.variability_fraction(mesh)
+    assert 0.85 < frac <= 1.001
+    # Eigenvalues sorted descending.
+    assert np.all(np.diff(cov.eigenvalues) <= 1e-15)
+
+
+def test_analytic_kernel_reconstruction():
+    # sum_k theta_k b_k(x) b_k(y) -> exp(-|dx|/l1 - |dy|/l2).
+    mesh = make_box_mesh((12, 12), lengths=(1.0, 1.0))
+    cov = AnalyticExponentialCovariance(mesh, 0.7, (10, 10))
+    cov.solve_eigenvalue()
+    C_kle = (cov.eigenvectors * cov.eigenvalues[None, :]) @ cov.eigenvectors.T
+    c = mesh.cell_centers()
+    d = np.abs(c[:, None, :] - c[None, :, :]).sum(axis=-1)  # l1 distance
+    C_exact = np.exp(-d / 0.7)
+    assert np.abs(C_kle - C_exact).max() < 0.08  # slow KLE tail at the diagonal
+
+
+def test_matern_full_mode_reconstruction():
+    mesh = make_box_mesh((5, 5), lengths=(1.0, 1.0))
+    cov = MaternCovariance(mesh, 0.4, nmodes=25)
+    cov.solve_eigenvalue()
+    C = cov.covariance_matrix()
+    C_rec = (cov.eigenvectors * cov.eigenvalues[None, :]) @ cov.eigenvectors.T
+    np.testing.assert_allclose(C_rec, C, atol=1e-10)
+    np.testing.assert_allclose(np.diag(C), 1.0)
+
+
+def test_matern_kernel_values():
+    mesh3 = make_box_mesh((2, 2, 2), lengths=(1.0, 1.0, 1.0))
+    cov3 = MaternCovariance(mesh3, 0.5, 4)
+    r = np.array([0.0, 0.5, 1.0])
+    np.testing.assert_allclose(cov3.kernel(r), np.exp(-np.where(r < 1e-10, 0, r)))
+    mesh2 = make_box_mesh((2, 2), lengths=(1.0, 1.0))
+    cov2 = MaternCovariance(mesh2, 0.5, 4)
+    # nu=1: scale * z * K1(z), z = sqrt(2) r; at r -> 0 kernel -> 1.
+    assert abs(cov2.kernel(np.array([1e-12]))[0] - 1.0) < 1e-10
+    assert 0.0 < cov2.kernel(np.array([1.0]))[0] < 1.0
+
+
+@pytest.mark.parametrize("covname", ["analytic", "matern"])
+def test_kl_sampler_marginal_variance(covname):
+    mesh = make_box_mesh((8, 8), lengths=(1.0, 1.0))
+    hier = build_geometric_hierarchy(make_box_mesh((4, 4), lengths=(1.0, 1.0)), 2)
+    fine_mesh = hier.levels[0].mesh
+    if covname == "analytic":
+        cov = AnalyticExponentialCovariance(fine_mesh, 0.5, (8, 8))
+    else:
+        cov = MaternCovariance(fine_mesh, 0.5, nmodes=60)
+    cov.solve_eigenvalue()
+    cfg = ProblemConfig(lognormal=False, refinements=1)
+    sampler = KLSampler(hier, cov, cfg, DT)
+    n = 6000
+    xi = sampler.sample(0, jax.random.PRNGKey(0), n)
+    s = np.asarray(sampler.eval(0, xi))
+    var = (s ** 2).mean(axis=0)
+    var_exact = (cov.eigenvectors ** 2 * cov.eigenvalues[None, :]).sum(axis=1)
+    tol = 6.0 * np.sqrt(2.0 / n) * var_exact.max() + 1e-3
+    np.testing.assert_allclose(var, var_exact, atol=tol)
+    # Truncated variance close to (below) the target 1.
+    assert 0.8 < var_exact.mean() <= 1.001
+
+
+def test_kl_coarse_level_projection():
+    hier = build_geometric_hierarchy(make_box_mesh((4, 4), lengths=(1.0, 1.0)), 2)
+    cov = AnalyticExponentialCovariance(hier.levels[0].mesh, 0.5, (4, 4))
+    cov.solve_eigenvalue()
+    cfg = ProblemConfig(lognormal=False, refinements=1)
+    sampler = KLSampler(hier, cov, cfg, DT)
+    xi = sampler.sample(0, jax.random.PRNGKey(1), 3)
+    s_f = np.asarray(sampler.eval(0, xi))
+    s_c = np.asarray(sampler.eval(1, xi))
+    # Coarse realization = volume-weighted average of fine realization
+    # (same xi): the cochain projector property.
+    Wf = hier.levels[0].W
+    Wc = hier.levels[1].W
+    avg = np.zeros_like(s_c)
+    np.add.at(avg.T, hier.parent[0], (Wf * s_f).T)
+    avg /= Wc
+    np.testing.assert_allclose(s_c, avg, atol=1e-12)
+
+
+def test_kl_mlmc_smoke(tmp_path):
+    from parelagmc_tpu.physics import DarcySolver
+    from parelagmc_tpu.uq import MLMCManager
+    from parelagmc_tpu.utils.timing import TimeManager
+
+    TimeManager.reset()
+    hier = build_geometric_hierarchy(make_box_mesh((2, 2, 2), lengths=(2.0,) * 3), 2)
+    cov = AnalyticExponentialCovariance(hier.levels[0].mesh, 0.3, (2, 2, 2))
+    cfg = ProblemConfig(
+        refinements=1, mse=5e-2, batch_size=16, initial_samples=16,
+        output_filename=str(tmp_path / "kl.dat"), correlation_length=0.3,
+    )
+    sampler = KLSampler(hier, cov, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    mgr = MLMCManager(solver, sampler, cfg)
+    est = mgr.run()
+    assert 1.0 < est < 5.0
+    mgr.close()
