@@ -151,6 +151,15 @@ class ProblemConfig:
     output_filename: str = "MLMC.dat"
     cost_model: str = "walltime"  # "walltime" | "dofs"
 
+    # Bayesian inverse problem (reference: "Bayesian inverse problem
+    # parameters" sublist, src/BayesianInverseProblem.cpp:31-36).
+    bayes_noise: float = 0.1
+    bayes_num_obs: int = 0  # 0 => observable is int_D p
+    bayes_obs_coords: Tuple[float, ...] = (0.5, 0.5, 0.5)
+    bayes_eps: float = 0.1
+    bayes_generate_ref_data: bool = True
+    bayes_ref_data_file: str = "reference_observational_data.dat"
+
     # Batching / devices.
     batch_size: int = 32
     dtype: str = "float32"  # device dtype; host verification can use float64

@@ -1,0 +1,339 @@
+"""Bayesian posterior ratio estimators, single-level and multilevel.
+
+TPU-native re-design of the reference's four managers
+(/root/reference/src/SL_BayesRatio_Manager.hpp,
+SL_BayesRatio_Splitting_Manager.hpp, ML_BayesRatio_Manager.hpp,
+ML_BayesRatio_Splitting_Manager.hpp):
+
+* ratio estimator:     E_post[Q] ~= (sum_l E[Y_R,l]) / (sum_l E[Y_Z,l]),
+  with independent prior streams for Z = Pi(u) and R = Q(u') Pi(u')
+  (reference ML_BayesRatio_Manager.hpp:314-430: zxi and xi are separate
+  draws) and coupled coarse/fine evaluations sharing each stream's noise.
+* splitting estimator: E_post[Q] ~= sum_l E[R_l/Z_l - R_{l+1}/Z_{l+1}]
+  ("divide then subtract", reference ML_BayesRatio_Splitting_Manager.hpp:26-29).
+
+Single-level variants are the nlevels == 1 special case. The execution
+model matches MLMCManager: one fused, batched jit program per level; all
+moment sums accumulated on host in float64. Sample allocation follows the
+reference: optimal-N_l against the max of the R- and Z-stream estimator
+variances (ratio) or the Y_Ratio variance (splitting)
+(ML_BayesRatio_Manager.hpp:686-724).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.uq.bayes import BayesianInverseProblem
+from parelagmc_tpu.utils.regression import exp_weighted_regression
+from parelagmc_tpu.utils.timing import TimeManager
+
+# Moment columns (reference ML_BayesRatio_Manager.hpp:67-70 enum).
+(YZ2, YZ, ABS_YZ, Z2, Z, ABS_Z, YR2, YR, ABS_YR, R2, R, ABS_R,
+ YRATIO2, YRATIO, ABS_YRATIO, RATIO2, RATIO, ABS_RATIO, C, T) = range(20)
+NVAR = 20
+
+
+class BayesRatioManager:
+    """Adaptive Bayesian ratio / splitting estimator manager."""
+
+    def __init__(
+        self,
+        problem: BayesianInverseProblem,
+        config: ProblemConfig,
+        nlevels: Optional[int] = None,
+        splitting: bool = False,
+        batch_size: Optional[int] = None,
+    ):
+        self.problem = problem
+        self.config = config
+        self.splitting = bool(splitting)
+        self.nlevels = int(nlevels if nlevels is not None else problem.nlevels)
+        self.batch = int(batch_size if batch_size is not None else config.batch_size)
+        self.eps2 = float(config.mse)
+        self.auto_eps2 = self.eps2 < 0
+        if self.auto_eps2:
+            self.eps2 = 1.0
+        self.ratio = float(config.mse_splitting_ratio)
+        self.init_nsamples = int(config.initial_samples)
+        self.use_walltime_cost = config.cost_model == "walltime"
+        self.verbose = config.verbose
+
+        n = self.nlevels
+        self.sums = np.zeros((n, NVAR))
+        self.level_nsamples = np.zeros(n, dtype=np.int64)
+        self.level_nsamples_missing = np.zeros(n, dtype=np.int64)
+        self.M = np.array(
+            [problem.solver.num_dofs(l) for l in range(n)], dtype=np.float64
+        )
+        self.E = np.zeros((n, NVAR))
+        self.varYR = np.zeros(n)
+        self.varYZ = np.zeros(n)
+        self.varYRatio = np.zeros(n)
+        self.cost = np.zeros(n)
+        self.ml_estimator_variance = math.inf
+        self.expected_discretization_error2 = math.inf
+        self.actual_mse = math.inf
+
+        self._key = jax.random.PRNGKey(config.seed + 101)
+        self._counter = 0
+        self._steps: Dict[int, Callable] = {}
+        self._compiled: set = set()
+        self._logger = None
+        if config.output_filename:
+            self._logger = open(config.output_filename, "w")
+            self._logger.write(
+                "%13s %14s %14s %14s %14s %14s\n"
+                % ("%level", "R(xi)", "Y_R(xi)", "Z(xi)", "Y_Z(xi)", "c")
+            )
+
+    # -- jitted level steps -----------------------------------------------------
+    def _step(self, level: int) -> Callable:
+        if level in self._steps:
+            return self._steps[level]
+        prob = self.problem
+        prior = prob.prior
+        batch = self.batch
+        coarsest = level == self.nlevels - 1
+
+        if coarsest:
+
+            def step(key):
+                kz, kr = jax.random.split(key)
+                zxi = prior.sample(level, kz, batch)
+                xi = prior.sample(level, kr, batch)
+                z, _ = prob.likelihood(level, prior.eval(level, zxi))
+                r, _ = prob.compute_R(level, prior.eval(level, xi))
+                zero = jnp.zeros_like(z)
+                return r, zero, z, zero  # r, rc, z, zc
+
+        else:
+
+            def step(key):
+                kz, kr = jax.random.split(key)
+                zxi = prior.sample(level, kz, batch)
+                xi = prior.sample(level, kr, batch)
+                z, _ = prob.likelihood(level, prior.eval(level, zxi))
+                zc, _ = prob.likelihood(
+                    level + 1, prior.eval(level + 1, zxi, xi_level=level)
+                )
+                r, _ = prob.compute_R(level, prior.eval(level, xi))
+                rc, _ = prob.compute_R(
+                    level + 1, prior.eval(level + 1, xi, xi_level=level)
+                )
+                return r, rc, z, zc
+
+        self._steps[level] = jax.jit(step)
+        return self._steps[level]
+
+    def _next_key(self, level: int):
+        self._counter += 1
+        return jax.random.fold_in(jax.random.fold_in(self._key, level), self._counter)
+
+    # -- sampling rounds ----------------------------------------------------------
+    def init_run(self, nsamples: List[int]) -> None:
+        if self.problem.G_obs is None:
+            self.problem.generate_observational_data()
+        for level in range(self.nlevels - 1, -1, -1):
+            n = int(nsamples[level])
+            if n <= 0:
+                continue
+            nbatches = -(-n // self.batch)
+            step = self._step(level)
+            timer_name = f"Ratio MC Sample -- Level {level}"
+            if level not in self._compiled:
+                step.lower(self._next_key(level)).compile()
+                self._compiled.add(level)
+            coarsest = level == self.nlevels - 1
+            for _ in range(nbatches):
+                key = self._next_key(level)
+                with TimeManager.timed(timer_name):
+                    r, rc, z, zc = jax.block_until_ready(step(key))
+                r = np.asarray(r, dtype=np.float64)
+                rc = np.asarray(rc, dtype=np.float64)
+                z = np.asarray(z, dtype=np.float64)
+                zc = np.asarray(zc, dtype=np.float64)
+                y_r = r - rc
+                y_z = z - zc
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rat = np.where(z != 0, r / np.where(z == 0, 1.0, z), 0.0)
+                    rat_c = np.where(zc != 0, rc / np.where(zc == 0, 1.0, zc), 0.0)
+                y_ratio = rat if coarsest else rat - rat_c
+                # cost in dofs: 2 solves per level of the pair.
+                cdofs = 2.0 * self.M[level] + (
+                    0.0 if coarsest else 2.0 * self.M[level + 1]
+                )
+                s = self.sums[level]
+                s[YR] += y_r.sum(); s[YR2] += (y_r ** 2).sum(); s[ABS_YR] += np.abs(y_r).sum()
+                s[YZ] += y_z.sum(); s[YZ2] += (y_z ** 2).sum(); s[ABS_YZ] += np.abs(y_z).sum()
+                s[R] += r.sum(); s[R2] += (r ** 2).sum(); s[ABS_R] += np.abs(r).sum()
+                s[Z] += z.sum(); s[Z2] += (z ** 2).sum(); s[ABS_Z] += np.abs(z).sum()
+                s[RATIO] += rat.sum(); s[RATIO2] += (rat ** 2).sum(); s[ABS_RATIO] += np.abs(rat).sum()
+                s[YRATIO] += y_ratio.sum(); s[YRATIO2] += (y_ratio ** 2).sum(); s[ABS_YRATIO] += np.abs(y_ratio).sum()
+                s[C] += cdofs * r.size
+                self.level_nsamples[level] += r.size
+                if self._logger is not None:
+                    for i in range(r.size):
+                        self._logger.write(
+                            "%13d %14.6g %14.6g %14.6g %14.6g %14.6g\n"
+                            % (level, r[i], y_r[i], z[i], y_z[i], cdofs)
+                        )
+        if self._logger is not None:
+            self._logger.flush()
+        self.compute_nsamples_mse()
+
+    def run(self) -> float:
+        self.sums[:] = 0.0
+        self.level_nsamples[:] = 0
+        self.level_nsamples_missing[:] = 0
+        self.init_run([self.init_nsamples] * self.nlevels)
+        grain = [0] * self.nlevels
+        while self.ml_estimator_variance > self.ratio * self.eps2:
+            for l in range(self.nlevels):
+                grain[l] = min(
+                    int(self.level_nsamples_missing[l]),
+                    self.init_nsamples + grain[l]
+                    + int(self.level_nsamples_missing[l]) // 10,
+                )
+            self.init_run(grain)
+        if self.verbose:
+            print(self.show_me())
+        return self.estimate
+
+    @property
+    def estimate(self) -> float:
+        if self.splitting:
+            return float(self.E[:, YRATIO].sum())
+        denom = self.E[:, YZ].sum()
+        return float(self.E[:, YR].sum() / denom) if denom != 0 else math.inf
+
+    # -- estimator mathematics -----------------------------------------------------
+    def compute_nsamples_mse(self) -> None:
+        n = self.level_nsamples.astype(np.float64)
+        taken = n > 0
+        nn = np.where(taken, n, 1.0)
+        self.E = self.sums / nn[:, None]
+        corr = np.where(n > 1, nn / np.maximum(nn - 1.0, 1.0), 1.0)
+
+        def var(col2, col):
+            return np.maximum((self.E[:, col2] - self.E[:, col] ** 2) * corr, 0.0)
+
+        self.varYR = var(YR2, YR)
+        self.varYZ = var(YZ2, YZ)
+        self.varYRatio = var(YRATIO2, YRATIO)
+
+        if self.use_walltime_cost:
+            for l in range(self.nlevels):
+                t = TimeManager.elapsed(f"Ratio MC Sample -- Level {l}")
+                self.cost[l] = t / max(int(self.level_nsamples[l]), 1)
+        else:
+            self.cost = self.E[:, C].copy()
+
+        self.alpha_R = exp_weighted_regression(self.E[:, YR], self.M, 1)
+        self.alphaABS_R = exp_weighted_regression(self.E[:, ABS_YR], self.M, 1)
+        self.beta_R = exp_weighted_regression(self.varYR, self.M, 1)
+        self.alpha_Z = exp_weighted_regression(self.E[:, YZ], self.M, 1)
+        self.alphaABS_Z = exp_weighted_regression(self.E[:, ABS_YZ], self.M, 1)
+        self.beta_Z = exp_weighted_regression(self.varYZ, self.M, 1)
+        self.gamma = exp_weighted_regression(self.cost, self.M, 0)
+
+        def bias2(eabs, aabs):
+            L = self.nlevels
+            if L == 1:
+                return 0.0
+            m = self.M[0] / self.M[1]
+            if L > 3:
+                return max(m ** (2 * aabs) * eabs[1] ** 2, eabs[0] ** 2) / (
+                    (m ** (-2 * aabs) - 1.0) ** 2
+                )
+            if L == 3:
+                return eabs[0] ** 2 / ((m ** (-aabs) - 1.0) ** 2)
+            return eabs[0] ** 2
+
+        self.expected_discretization_error2 = max(
+            bias2(self.E[:, ABS_YR], self.alphaABS_R),
+            bias2(self.E[:, ABS_YZ], self.alphaABS_Z),
+        )
+        if self.auto_eps2:
+            self.eps2 = self.expected_discretization_error2 / (1.0 - self.ratio)
+
+        if self.splitting:
+            self.ml_estimator_variance = float(
+                np.sum(np.where(taken, self.varYRatio / nn, np.inf))
+            )
+            var_for_alloc = [self.varYRatio]
+        else:
+            v_r = float(np.sum(np.where(taken, self.varYR / nn, np.inf)))
+            v_z = float(np.sum(np.where(taken, self.varYZ / nn, np.inf)))
+            self.ml_estimator_variance = max(v_r, v_z)
+            var_for_alloc = [self.varYR, self.varYZ]
+        self.actual_mse = (
+            self.expected_discretization_error2 + self.ml_estimator_variance
+        )
+
+        missing = np.zeros(self.nlevels)
+        cost = np.maximum(self.cost, 1e-300)
+        for v in var_for_alloc:
+            prop = float(np.sum(np.sqrt(v * cost))) / (self.ratio * self.eps2)
+            target = prop * np.sqrt(v / cost)
+            missing = np.maximum(missing, np.ceil(target - n))
+        self.level_nsamples_missing = np.maximum(missing, 0).astype(np.int64)
+
+    # -- reporting --------------------------------------------------------------------
+    def show_me(self) -> str:
+        w = 42
+
+        def row(name, val):
+            return f"{name:<{w}}{val}"
+
+        def vec(name, v):
+            return f"{name:<{w}}" + " ".join(f"{x:.8g}" for x in np.atleast_1d(v))
+
+        kind = "Splitting" if self.splitting else "Ratio"
+        sl = "SL" if self.nlevels == 1 else "ML"
+        lines = [
+            "=" * 79,
+            f"{sl}_BayesRatio{'_Splitting' if self.splitting else ''}_Manager Errors:",
+            "-" * 79,
+            row("R Estimate", f"{self.E[:, YR].sum():.8g}"),
+            row("Z Estimate", f"{self.E[:, YZ].sum():.8g}"),
+            row(f"{kind} Estimate", f"{self.estimate:.8g}"),
+            row("Target MSE", f"{self.eps2:.8g}"),
+            row("Actual MSE", f"{self.actual_mse:.8g}"),
+            row("ML Estimator Variance", f"{self.ml_estimator_variance:.8g}"),
+            row("Estimator Bias (Max of R,Z)", f"{self.expected_discretization_error2:.8g}"),
+            vec("DOFS in Forward Problem", self.M),
+            vec("Cost", self.cost),
+            vec("NumSamples", self.level_nsamples),
+            vec("E[R]", self.E[:, R]),
+            vec("Var[Y_R]", self.varYR),
+            vec("E[Y_R]", self.E[:, YR]),
+            vec("E[Z]", self.E[:, Z]),
+            vec("Var[Y_Z]", self.varYZ),
+            vec("E[Y_Z]", self.E[:, YZ]),
+            vec("E[Ratio]", self.E[:, RATIO]),
+            vec("E[Y_Ratio]", self.E[:, YRATIO]),
+            vec("Var[Y_Ratio]", self.varYRatio),
+            "=" * 79,
+        ]
+        return "\n".join(lines)
+
+    def close(self) -> None:
+        if self._logger is not None:
+            self._logger.close()
+            self._logger = None
+
+
+class SLBayesRatioManager(BayesRatioManager):
+    """Single-level ratio estimator (reference SL_BayesRatio_Manager.hpp)."""
+
+    def __init__(self, problem, config, splitting=False, batch_size=None):
+        super().__init__(
+            problem, config, nlevels=1, splitting=splitting, batch_size=batch_size
+        )

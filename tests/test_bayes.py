@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem import build_geometric_hierarchy
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.physics import DarcySolver
+from parelagmc_tpu.samplers import SPDESampler
+from parelagmc_tpu.uq import BayesianInverseProblem, BayesRatioManager, SLBayesRatioManager
+from parelagmc_tpu.utils.timing import TimeManager
+
+DT = jnp.float64
+
+
+def build_problem(tmp_path, nlevels=2, m=0, mse=5e-3, **kw):
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, nlevels)
+    cfg = ProblemConfig(
+        refinements=nlevels - 1,
+        batch_size=16,
+        initial_samples=16,
+        mse=mse,
+        bayes_num_obs=m,
+        bayes_obs_coords=(0.5, 0.5, 0.5, 1.5, 1.5, 1.5)[: 3 * max(m, 1)],
+        bayes_eps=0.45,
+        bayes_ref_data_file=str(tmp_path / "ref_obs.dat"),
+        output_filename=str(tmp_path / "ratio.dat"),
+        **kw,
+    )
+    sampler = SPDESampler(hier, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    prob = BayesianInverseProblem(solver, sampler, cfg, DT)
+    return hier, prob, cfg
+
+
+def test_observable_p_int_deterministic(tmp_path):
+    # m = 0: G = int p / |D|; for k=1 on the side-2 cube p(z) = z/2 ->
+    # mean = 0.5.
+    hier, prob, cfg = build_problem(tmp_path, nlevels=1)
+    w = jnp.ones((1, hier.levels[0].n_s), dtype=DT)
+    G, Q, cost = prob.compute_G(0, w)
+    np.testing.assert_allclose(np.asarray(G), 0.5, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(Q), 2.0, rtol=1e-8)
+
+
+def test_observable_pointwise(tmp_path):
+    # m = 2 local-average pressure observables around two points.
+    hier, prob, cfg = build_problem(tmp_path, nlevels=1, m=2)
+    w = jnp.ones((1, hier.levels[0].n_s), dtype=DT)
+    G, Q, cost = prob.compute_G(0, w)
+    G = np.asarray(G)[0]
+    assert G.shape == (2,)
+    # Local averages of p(z) = z/2 near z=0.5 and z=1.5.
+    np.testing.assert_allclose(G, [0.25, 0.75], rtol=1e-8)
+
+
+def test_likelihood_and_R(tmp_path):
+    hier, prob, cfg = build_problem(tmp_path, nlevels=2)
+    prob.set_observational_data([0.5])
+    w = jnp.ones((2, hier.levels[0].n_s), dtype=DT)
+    like, cost = prob.likelihood(0, w)
+    np.testing.assert_allclose(np.asarray(like), 1.0, rtol=1e-8)  # zero misfit
+    R, cost = prob.compute_R(0, w)
+    np.testing.assert_allclose(np.asarray(R), 2.0, rtol=1e-7)
+    # Nonzero misfit decreases the likelihood as exp(-d^2 / (2*noise)).
+    prob.set_observational_data([0.7])
+    like2, _ = prob.likelihood(0, w)
+    np.testing.assert_allclose(
+        np.asarray(like2), np.exp(-0.04 / (2 * cfg.bayes_noise)), rtol=1e-6
+    )
+
+
+def test_generate_and_reload_obs_data(tmp_path):
+    hier, prob, cfg = build_problem(tmp_path, nlevels=2)
+    y = prob.generate_observational_data()
+    assert y.shape == (1,)
+    # Reload from file.
+    hier2, prob2, cfg2 = build_problem(tmp_path, nlevels=2)
+    prob2.config.bayes_generate_ref_data = False
+    y2 = prob2.generate_observational_data()
+    np.testing.assert_allclose(y2, y)
+
+
+@pytest.mark.parametrize("splitting", [False, True])
+def test_ml_ratio_manager_runs(tmp_path, splitting):
+    TimeManager.reset()
+    hier, prob, cfg = build_problem(tmp_path, nlevels=2, mse=2e-3)
+    prob.set_observational_data([0.55])
+    mgr = BayesRatioManager(prob, cfg, splitting=splitting)
+    est = mgr.run()
+    assert mgr.ml_estimator_variance <= cfg.mse_splitting_ratio * mgr.eps2
+    # Posterior expectation of the effective permeability stays physical.
+    assert 1.0 < est < 5.0
+    dash = mgr.show_me()
+    assert ("Splitting" if splitting else "Ratio") + " Estimate" in dash
+    mgr.close()
+
+
+def test_sl_ratio_manager(tmp_path):
+    TimeManager.reset()
+    hier, prob, cfg = build_problem(tmp_path, nlevels=1, mse=5e-3)
+    prob.set_observational_data([0.55])
+    mgr = SLBayesRatioManager(prob, cfg)
+    est = mgr.run()
+    assert 1.0 < est < 5.0
+    assert "SL_BayesRatio_Manager" in mgr.show_me()
+    mgr.close()
+
+
+def test_ratio_vs_splitting_agree(tmp_path):
+    # Both estimators target E_post[Q]; with enough samples they agree.
+    TimeManager.reset()
+    hier, prob, cfg = build_problem(tmp_path, nlevels=1, mse=1e10)
+    prob.set_observational_data([0.55])
+    m1 = BayesRatioManager(prob, cfg, nlevels=1, splitting=False)
+    m1.init_run([512])
+    m2 = BayesRatioManager(prob, cfg, nlevels=1, splitting=True)
+    m2.init_run([512])
+    # On a single level the splitting estimator is E[R]/E[Z] vs E[R/Z]:
+    # different estimators, same posterior in the small-noise limit; here
+    # just require same ballpark.
+    assert abs(m1.estimate - m2.estimate) < 0.5
+    m1.close()
+    m2.close()
