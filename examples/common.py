@@ -1,0 +1,68 @@
+"""Shared example-driver plumbing: CLI args -> ProblemConfig.
+
+Mirrors the reference drivers' single `--xml-file` option
+(examples/MLMC.cpp:54-57) plus native overrides for every common knob.
+With no arguments, drivers run the built-in golden test parameters
+(CreateMLMCTestParameters analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from parelagmc_tpu.config import ProblemConfig, read_xml_parameterlist
+
+
+def parse_config(argv=None, **defaults) -> ProblemConfig:
+    p = argparse.ArgumentParser()
+    p.add_argument("-f", "--xml-file", default=None,
+                   help="reference-format XML ParameterList")
+    p.add_argument("--mesh", default=None, choices=["box", "spe10", "egg"])
+    p.add_argument("--sampler", default=None, choices=["pde", "analytic", "matern"])
+    p.add_argument("--embedding", default=None,
+                   choices=["none", "matching", "projection"])
+    p.add_argument("--refinements", type=int, default=None)
+    p.add_argument("--corlen", type=float, default=None)
+    p.add_argument("--variance", type=float, default=None)
+    p.add_argument("--mse", type=float, default=None)
+    p.add_argument("--samples", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--qoi", default=None,
+                   choices=["eff_perm", "p_int", "local_avg_p"])
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--no-lognormal", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.xml_file:
+        cfg = ProblemConfig.from_parameterlist(read_xml_parameterlist(args.xml_file))
+    else:
+        cfg = ProblemConfig()
+    if defaults:
+        cfg = dataclasses.replace(cfg, **defaults)
+
+    override = {
+        "mesh": args.mesh,
+        "sampler_name": args.sampler,
+        "embedding": args.embedding,
+        "refinements": args.refinements,
+        "correlation_length": args.corlen,
+        "variance": args.variance,
+        "mse": args.mse,
+        "initial_samples": args.samples,
+        "batch_size": args.batch,
+        "qoi": args.qoi,
+        "dtype": args.dtype,
+        "seed": args.seed,
+    }
+    override = {k: v for k, v in override.items() if v is not None}
+    if args.refinements is not None:
+        override["nlevels"] = None
+    if args.no_lognormal:
+        override["lognormal"] = False
+    if args.verbose:
+        override["verbose"] = True
+    return dataclasses.replace(cfg, **override)

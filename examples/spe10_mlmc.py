@@ -1,0 +1,74 @@
+"""MLMC on the SPE10 benchmark: Darcy flow through the SPE10 permeability
+field perturbed by a random log-normal multiplier sampled with the SPDE
+sampler (reference analog: examples/SPE10/SPE10_MLMC.cpp; permeability
+loading SPE10_MLMC.cpp:165-171 - here owned by physics/spe10.py, with a
+synthetic fallback when spe_perm.dat is absent).
+
+Defaults are scaled down (--refinements 1, large corlen) so the driver is
+runnable on one chip out of the box; pass --refinements 2 and
+--perm-file data/spe_perm.dat for the full configuration.
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import dataclasses
+
+import numpy as np
+
+from examples.common import parse_config
+from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+from parelagmc_tpu.problems import build_problem
+from parelagmc_tpu.uq import MLMCManager
+from parelagmc_tpu.utils.timing import TimeManager
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    perm_file = None
+    if "--perm-file" in argv:
+        i = argv.index("--perm-file")
+        perm_file = argv[i + 1]
+        del argv[i: i + 2]
+    grid = None  # optional scaled-down grid "nx,ny,nz" (synthetic perm only)
+    if "--grid" in argv:
+        i = argv.index("--grid")
+        grid = tuple(int(x) for x in argv[i + 1].split(","))
+        del argv[i: i + 2]
+    cfg = parse_config(
+        argv,
+        mesh="spe10",
+        refinements=1,
+        correlation_length=100.0,  # feet; SPE10 domain is 1200x2200x170 ft
+        mse=-1.0,  # auto-MSE from the bias estimate
+        initial_samples=32,
+        batch_size=32,
+    )
+    if grid is not None:
+        # Scaled-down run on a grid with the SPE10 domain extents.
+        import dataclasses
+
+        from parelagmc_tpu.mesh.factories import SPE10_NCELLS, SPE10_SPACING
+
+        lengths = tuple(n * h for n, h in zip(SPE10_NCELLS, SPE10_SPACING))
+        f = 2 ** cfg.refinements
+        cfg = dataclasses.replace(
+            cfg, mesh="box", ncells=tuple(g // f for g in grid), lengths=lengths
+        )
+        ncells = grid
+        kinv = load_spe10_kinv(None, ncells=grid)
+    else:
+        ncells = (60, 220, 85 if cfg.refinements == 0 else 84)
+        kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
+        kinv = kinv[: int(np.prod(ncells))]  # drop truncated z-layer
+    prob = build_problem(cfg, kinv_ref=kinv)
+    mgr = MLMCManager(prob.solver, prob.sampler, cfg)
+    mgr.init_run([cfg.initial_samples] * cfg.nlevels)
+    print(mgr.show_me())
+    TimeManager.print_table()
+    mgr.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,7 @@ class DarcyLevel(NamedTuple):
     rhs: jnp.ndarray  # (n_u + n_s,)
     obs_func: jnp.ndarray  # (n_u + n_s,)
     schur: TensorEig  # exact S(1) factors (alpha = 0, Darcy BCs)
+    kinv_logmean: float  # log geometric mean of the static kinv_ref (0 if none)
 
 
 class DarcySolver:
@@ -77,7 +78,15 @@ class DarcySolver:
         hierarchy: GeometricHierarchy,
         config: ProblemConfig,
         dtype=jnp.float32,
+        kinv_ref: Optional[np.ndarray] = None,
     ):
+        """kinv_ref: optional static reference inverse permeability on the
+        *finest* mesh, shape (n_s, dim) (per-axis, e.g. SPE10's anisotropic
+        tensor) or (n_s,). It is coarsened by volume-weighted averaging and
+        baked into the mass-matrix values per level; the per-sample field w
+        then multiplies on top (the reference's k_over_k_ref semantics:
+        SPE10_MLMC.cpp feeds InversePermeability as the deterministic
+        integrator and the sampler field per sample)."""
         self.hierarchy = hierarchy
         self.config = config
         self.dtype = dtype
@@ -133,11 +142,28 @@ class DarcySolver:
                 vp = P_l2.T @ vecs[l][hierarchy.levels[l].n_u:]
                 vecs.append(np.concatenate([vu, vp]))
 
+        # --- static reference inverse permeability per level ----------------
+        kinv_levels: List[Optional[np.ndarray]] = [None] * hierarchy.nlevels
+        if kinv_ref is not None:
+            kinv_ref = np.asarray(kinv_ref, dtype=np.float64)
+            if kinv_ref.ndim == 1:
+                kinv_ref = np.repeat(kinv_ref[:, None], d, axis=1)
+            kinv_levels[0] = kinv_ref
+            for l in range(hierarchy.nlevels - 1):
+                Wf = hierarchy.levels[l].W
+                Wc = hierarchy.levels[l + 1].W
+                coarse = np.zeros((hierarchy.levels[l + 1].n_s, d))
+                np.add.at(coarse, hierarchy.parent[l], Wf[:, None] * kinv_levels[l])
+                kinv_levels[l + 1] = coarse / Wc[:, None]
+
         # --- per-level device operators -------------------------------------
         self.levels: List[DarcyLevel] = []
         for l, lvl in enumerate(hierarchy.levels):
             ess = lvl.ess_faces(ess_attr)
             m_vals = lvl.m_vals.copy()
+            if kinv_levels[l] is not None:
+                face_ax = lvl.mesh.face_axis()
+                m_vals = m_vals * kinv_levels[l][lvl.m_cells, face_ax[:, None]]
             m_vals[ess, :] = 0.0
             col_is_ess = ess[lvl.m_cols]
             m_vals = np.where(col_is_ess, 0.0, m_vals)
@@ -161,6 +187,11 @@ class DarcySolver:
                     obs_func=jnp.asarray(obs_np[l], dtype=dtype),
                     schur=build_tensor_solver(
                         lvl.mesh, 0.0, ess_attr=ess_attr, dtype=dtype
+                    ),
+                    kinv_logmean=(
+                        float(np.mean(np.log(np.maximum(kinv_levels[l], 1e-300))))
+                        if kinv_levels[l] is not None
+                        else 0.0
                     ),
                 )
             )
@@ -213,8 +244,11 @@ class DarcySolver:
         dM = jnp.where(L.ess, 1.0, dM)
         inv_dM = 1.0 / dM
         # Geometric-mean scaling of the reference-coefficient Schur inverse:
-        # S(w)^{-1} ~ w_bar S(1)^{-1} to first order.
-        w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+        # S(w)^{-1} ~ w_bar S(1)^{-1} to first order (includes the static
+        # kinv_ref geometric mean when present).
+        w_bar = jnp.exp(
+            jnp.mean(jnp.log(w), axis=-1, keepdims=True) + L.kinv_logmean
+        )
 
         def prec(r: jnp.ndarray) -> jnp.ndarray:
             ru, rp = r[..., : L.n_u], r[..., L.n_u:]
