@@ -97,7 +97,7 @@ class SolverConfig:
     """Batched iterative solver selection (replaces the reference's
     Preconditioner Library entries, see module docstring)."""
 
-    name: str = "cg-mg"  # "cg-mg" | "cg-jacobi" | "minres-bj"
+    name: str = "cg-mg"  # "cg-mg" | "cg-jacobi" | "minres-bj" | "cg-schur"
     max_iterations: int = 300
     relative_tolerance: float = 1e-6
     absolute_tolerance: float = 1e-12
@@ -168,7 +168,7 @@ class ProblemConfig:
     # Solvers.
     sampler_solver: SolverConfig = field(default_factory=SolverConfig)
     darcy_solver: SolverConfig = field(
-        default_factory=lambda: SolverConfig(name="minres-bj", max_iterations=500)
+        default_factory=lambda: SolverConfig(name="cg-schur", max_iterations=500)
     )
 
     verbose: bool = False

@@ -52,7 +52,8 @@ from parelagmc_tpu.ops.ell import (
     coef_ell_apply,
     pack_coef_ell,
 )
-from parelagmc_tpu.ops.solvers import SolveInfo, minres
+from parelagmc_tpu.ops.mass_solve import MassTridiagSolver, build_mass_tridiag_solver
+from parelagmc_tpu.ops.solvers import SolveInfo, minres, pcg
 from parelagmc_tpu.ops.tensorsolve import TensorEig, build_tensor_solver, tensor_solve
 
 
@@ -70,6 +71,7 @@ class DarcyLevel(NamedTuple):
     obs_func: jnp.ndarray  # (n_u + n_s,)
     schur: TensorEig  # exact S(1) factors (alpha = 0, Darcy BCs)
     kinv_logmean: float  # log geometric mean of the static kinv_ref (0 if none)
+    mass_solver: MassTridiagSolver  # exact M(w)^{-1} (tensor-grid tridiagonals)
 
 
 class DarcySolver:
@@ -193,6 +195,9 @@ class DarcySolver:
                         if kinv_levels[l] is not None
                         else 0.0
                     ),
+                    mass_solver=build_mass_tridiag_solver(
+                        lvl, ess, kinv_ref=kinv_levels[l], dtype=dtype
+                    ),
                 )
             )
         self.solver_cfg = config.darcy_solver
@@ -269,6 +274,24 @@ class DarcySolver:
             np.sum(np.asarray(L.cell_signs) != 0)
         )
 
+    def _apply_B(self, L: DarcyLevel, u: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(
+            jnp.take(u, L.cell_faces.reshape(-1), axis=-1).reshape(
+                u.shape[:-1] + L.cell_faces.shape
+            )
+            * L.cell_signs,
+            axis=-1,
+        )
+
+    def _apply_Bt(self, L: DarcyLevel, p: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(
+            jnp.take(p, L.face_cells.reshape(-1), axis=-1).reshape(
+                p.shape[:-1] + L.face_cells.shape
+            )
+            * L.face_signs,
+            axis=-1,
+        )
+
     def solve_fwd(
         self, level: int, w: jnp.ndarray, return_pressure: bool = False
     ):
@@ -277,8 +300,49 @@ class DarcySolver:
 
         Q is the QoI functional value per sample; cost is the global dof
         count (the reference's C, src/DarcySolver.cpp:429).
+
+        Solver selection (config.darcy_solver.name):
+        * "cg-schur" (default): exact pressure Schur-complement CG - the
+          velocity block M(w) is inverted exactly per CG iteration by
+          batched per-axis tridiagonal solves (ops/mass_solve.py) and the
+          Schur system S(w) p = B M(w)^{-1} f - g is preconditioned by the
+          exact reference-coefficient inverse S(1)^{-1} via the tensor
+          spectral solver.
+        * "minres-bj": block-diagonal preconditioned MINRES on the full
+          saddle system (the reference's MINRES-BJ-GS analog).
         """
         L = self.levels[level]
+        if self.solver_cfg.name == "minres-bj":
+            return self._solve_minres(L, w, return_pressure)
+        return self._solve_cg_schur(L, w, return_pressure)
+
+    def _solve_cg_schur(self, L: DarcyLevel, w: jnp.ndarray, return_pressure: bool):
+        batch = w.shape[:-1]
+        f = jnp.broadcast_to(L.rhs[: L.n_u], batch + (L.n_u,))
+        g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
+        Minv = lambda r: L.mass_solver(w, r)
+        rhs_s = self._apply_B(L, Minv(f)) - g
+        w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True) + L.kinv_logmean)
+        prec = lambda r: w_bar * tensor_solve(L.schur, r)
+        apply_S = lambda p: self._apply_B(L, Minv(self._apply_Bt(L, p)))
+        p, info = pcg(
+            apply_S,
+            rhs_s,
+            prec=prec,
+            max_iters=self.solver_cfg.max_iterations,
+            rtol=self.solver_cfg.relative_tolerance,
+            atol=self.solver_cfg.absolute_tolerance,
+        )
+        u = Minv(f - self._apply_Bt(L, p))
+        Q = jnp.sum(p * L.obs_func[L.n_u:], axis=-1) + jnp.sum(
+            u * L.obs_func[: L.n_u], axis=-1
+        )
+        cost = float(L.n_u + L.n_s)
+        if return_pressure:
+            return Q, cost, info, -p
+        return Q, cost, info
+
+    def _solve_minres(self, L: DarcyLevel, w: jnp.ndarray, return_pressure: bool):
         apply_A = self._apply_A(L, w)
         prec = self._prec(L, w)
         b = jnp.broadcast_to(L.rhs, w.shape[:-1] + L.rhs.shape)
