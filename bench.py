@@ -40,8 +40,10 @@ def main() -> None:
     base = make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0))
     hier = build_geometric_hierarchy(base, nlevels)
     cfg = ProblemConfig(refinements=nlevels - 1, batch_size=256)
-    cfg.darcy_solver.relative_tolerance = 1e-5
-    cfg.darcy_solver.max_iterations = 300
+    # float32 Krylov floor: CG stagnates slightly above 1e-5 relative
+    # residual in f32; 1e-4 is ample for MC sampling accuracy.
+    cfg.darcy_solver.relative_tolerance = 1e-4
+    cfg.darcy_solver.max_iterations = 120
     sampler = SPDESampler(hier, cfg, dtype)
     solver = DarcySolver(hier, cfg, dtype)
     batch = cfg.batch_size

@@ -101,6 +101,7 @@ class SolverConfig:
     max_iterations: int = 300
     relative_tolerance: float = 1e-6
     absolute_tolerance: float = 1e-12
+    restart_every: int = 50  # true-residual CG restart cadence (f32 rescue)
     # Multigrid options.
     smoother_iterations: int = 2
     chebyshev_order: int = 3

@@ -332,6 +332,7 @@ class DarcySolver:
             max_iters=self.solver_cfg.max_iterations,
             rtol=self.solver_cfg.relative_tolerance,
             atol=self.solver_cfg.absolute_tolerance,
+            restart_every=self.solver_cfg.restart_every,
         )
         u = Minv(f - self._apply_Bt(L, p))
         Q = jnp.sum(p * L.obs_func[L.n_u:], axis=-1) + jnp.sum(

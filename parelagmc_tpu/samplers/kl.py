@@ -71,7 +71,9 @@ class KLSampler(MLSampler):
         return self.hierarchy.levels[level].n_s
 
     def sample(self, level: int, key, nsamples: int) -> jnp.ndarray:
-        return self.sigma * jax.random.normal(
+        from parelagmc_tpu.ops.prng import sample_normals
+
+        return self.sigma * sample_normals(
             key, (nsamples, self.nmodes), dtype=self.dtype
         )
 

@@ -111,7 +111,9 @@ class _TensorSPDEBase(MLSampler):
         return self.hierarchy.levels[level].n_s
 
     def sample(self, level: int, key, nsamples: int) -> jnp.ndarray:
-        return self.sigma * jax.random.normal(
+        from parelagmc_tpu.ops.prng import sample_normals
+
+        return self.sigma * sample_normals(
             key, (nsamples, self.sample_size(level)), dtype=self.dtype
         )
 
