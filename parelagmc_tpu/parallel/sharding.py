@@ -1,0 +1,70 @@
+"""Multi-chip sample parallelism.
+
+The framework's main parallel axis is the *sample batch* (SURVEY.md 2.3:
+the reference parallelizes spatially over MPI ranks and draws samples
+sequentially, src/MLMC_Manager.cpp:113-175; here hundreds of realizations
+run per chip and the batch is sharded over the device mesh).
+
+`SampleMesh` wraps a 1D jax.sharding.Mesh over the 'dp' axis and turns a
+per-shard level step (key -> per-sample arrays) into a global SPMD program
+via shard_map: every device draws its own noise (its shard's key is the
+global key folded with the device index - deterministic, device-count-
+explicit), runs the full realization pipeline locally (all operators are
+replicated constants), and the manager receives globally-batched arrays.
+Cross-device moment reductions (jnp.sum over the sharded batch inside a
+jitted consumer, or host-side accumulation after gather) lower to ICI
+collectives / gathers inserted by XLA.
+
+Spatial sharding of one realization's dof vector (the analog of the
+reference's domain decomposition) is only needed when a single fine level
+exceeds per-chip memory (SURVEY.md 5.7) and is planned work; all bundled
+configurations fit comfortably per chip.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class SampleMesh:
+    def __init__(self, devices: Optional[Sequence] = None, axis_name: str = "dp"):
+        if devices is None:
+            devices = jax.devices()
+        self.axis_name = axis_name
+        self.mesh = Mesh(np.asarray(devices), (axis_name,))
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def round_batch(self, batch: int) -> int:
+        """Smallest multiple of the device count >= batch."""
+        n = self.n_devices
+        return -(-batch // n) * n
+
+    def shard_step(self, step_local: Callable, out_ndim: int = 1) -> Callable:
+        """Lift a per-shard step `key -> pytree of (local_batch, ...) arrays`
+        to a global SPMD step `key -> pytree of (global_batch, ...) arrays`.
+
+        Every shard folds its 'dp' index into the key, so the global sample
+        stream is deterministic for a fixed device count.
+        """
+        from jax import shard_map
+
+        axis = self.axis_name
+
+        def wrapped(key):
+            idx = jax.lax.axis_index(axis)
+            return step_local(jax.random.fold_in(key, idx))
+
+        return shard_map(
+            wrapped,
+            mesh=self.mesh,
+            in_specs=(P(),),
+            out_specs=P(axis),
+            check_vma=False,
+        )

@@ -45,6 +45,14 @@ Y, Y2, Y3, Y4, ABSY, Q, Q2, ABSQ, C = range(9)
 NVAR = 9
 
 
+def jnp_broadcast_iters(iters, batch: int):
+    """Broadcast the scalar iteration count to the batch so sharded steps
+    have uniformly 'dp'-sharded outputs."""
+    import jax.numpy as jnp
+
+    return jnp.broadcast_to(iters, (batch,))
+
+
 class MLMCManager:
     """Adaptive multilevel Monte Carlo estimator over batched jitted steps."""
 
@@ -55,12 +63,16 @@ class MLMCManager:
         config: ProblemConfig,
         nlevels: Optional[int] = None,
         batch_size: Optional[int] = None,
+        sharding=None,  # Optional[parallel.SampleMesh]: shard batches over 'dp'
     ):
         self.solver = solver
         self.sampler = sampler
         self.config = config
+        self.sharding = sharding
         self.nlevels = int(nlevels if nlevels is not None else config.nlevels)
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
+        if sharding is not None:
+            self.batch = sharding.round_batch(self.batch)
         self.eps2 = float(config.mse)
         self.auto_eps2 = self.eps2 < 0
         if self.auto_eps2:
@@ -116,13 +128,15 @@ class MLMCManager:
             return self._steps[level]
         sampler, solver = self.sampler, self.solver
         batch = self.batch
+        if self.sharding is not None:
+            batch = batch // self.sharding.n_devices
         if level == self.nlevels - 1:
 
             def step(key):
                 xi = sampler.sample(level, key, batch)
                 s = sampler.eval(level, xi)
                 q, _, info = solver.solve_fwd(level, s)
-                return q, q * 0.0, info.iterations
+                return q, q * 0.0, jnp_broadcast_iters(info.iterations, batch)
 
         else:
 
@@ -132,8 +146,12 @@ class MLMCManager:
                 s_c = sampler.eval(level + 1, xi, xi_level=level)
                 qc, _, info_c = solver.solve_fwd(level + 1, s_c)
                 q, _, info_f = solver.solve_fwd(level, s_f)
-                return q, qc, info_f.iterations + info_c.iterations
+                return q, qc, jnp_broadcast_iters(
+                    info_f.iterations + info_c.iterations, batch
+                )
 
+        if self.sharding is not None:
+            step = self.sharding.shard_step(step)
         self._steps[level] = jax.jit(step)
         return self._steps[level]
 
@@ -158,7 +176,7 @@ class MLMCManager:
             if level not in self._compiled:
                 # AOT-compile outside the cost-model timer: the walltime cost
                 # feeds the N_l allocation and must not include compilation.
-                step.lower(self._next_key(level)).compile()
+                step.lower(self._key).compile()  # dummy key: AOT needs shapes only
                 self._compiled.add(level)
             for _ in range(nbatches):
                 key = self._next_key(level)
@@ -292,6 +310,58 @@ class MLMCManager:
         missing = np.ceil(target - n)
         self.level_nsamples_missing = np.maximum(missing, 0).astype(np.int64)
         self.VC = self.varY * self.cost
+
+    # -- checkpoint / resume -----------------------------------------------------
+    # The reference has no simulation checkpointing (SURVEY.md 5.4); here the
+    # complete estimator state (moment sums, sample counts, RNG counter, MSE
+    # target, per-level cost timers) round-trips through one .npz file, so an
+    # interrupted adaptive run resumes exactly where it stopped with the
+    # PRNG stream continuing deterministically.
+    def save_state(self, path: str) -> None:
+        cost_elapsed = np.array(
+            [
+                TimeManager.elapsed(f"MC Sample -- Level {l}")
+                for l in range(self.nlevels)
+            ]
+        )
+        np.savez(
+            path,
+            sums=self.sums,
+            level_nsamples=self.level_nsamples,
+            level_nsamples_missing=self.level_nsamples_missing,
+            counter=self._counter,
+            eps2=self.eps2,
+            seed=self.config.seed,
+            cost_elapsed=cost_elapsed,
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        if int(data["seed"]) != int(self.config.seed):
+            raise ValueError("checkpoint seed does not match config.seed")
+        self.sums = data["sums"]
+        self.level_nsamples = data["level_nsamples"]
+        self.level_nsamples_missing = data["level_nsamples_missing"]
+        self._counter = int(data["counter"])
+        self.eps2 = float(data["eps2"])
+        for l, t in enumerate(data["cost_elapsed"]):
+            w = TimeManager.get_watch(f"MC Sample -- Level {l}")
+            w.elapsed = float(t)
+        self.compute_nsamples_mse()
+
+    def resume(self, path: str) -> float:
+        """Load a checkpoint and continue the adaptive run to the target."""
+        self.load_state(path)
+        grain = [0] * self.nlevels
+        while self.ml_estimator_variance > self.ratio * self.eps2:
+            for l in range(self.nlevels):
+                grain[l] = min(
+                    int(self.level_nsamples_missing[l]),
+                    self.init_nsamples[l] + grain[l]
+                    + int(self.level_nsamples_missing[l]) // 10,
+                )
+            self.init_run(grain)
+        return self.estimate
 
     # -- reporting --------------------------------------------------------------
     def show_me(self) -> str:

@@ -148,7 +148,7 @@ class BayesRatioManager:
             step = self._step(level)
             timer_name = f"Ratio MC Sample -- Level {level}"
             if level not in self._compiled:
-                step.lower(self._next_key(level)).compile()
+                step.lower(self._key).compile()  # dummy key: AOT needs shapes only
                 self._compiled.add(level)
             coarsest = level == self.nlevels - 1
             for _ in range(nbatches):

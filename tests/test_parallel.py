@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.fem import build_geometric_hierarchy
+from parelagmc_tpu.mesh import make_box_mesh
+from parelagmc_tpu.parallel import SampleMesh
+from parelagmc_tpu.physics import DarcySolver
+from parelagmc_tpu.samplers import SPDESampler
+from parelagmc_tpu.uq import MLMCManager
+from parelagmc_tpu.utils.timing import TimeManager
+
+DT = jnp.float64
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8  # conftest forces the virtual CPU mesh
+
+
+def test_shard_step_outputs_global_batch():
+    sm = SampleMesh()
+    assert sm.n_devices == 8
+    assert sm.round_batch(9) == 16
+
+    def local_step(key):
+        x = jax.random.normal(key, (4,))
+        return x, x * 2.0
+
+    step = jax.jit(sm.shard_step(local_step))
+    a, b = step(jax.random.PRNGKey(0))
+    assert a.shape == (32,)
+    np.testing.assert_allclose(np.asarray(b), 2 * np.asarray(a))
+    # Shards saw distinct keys -> distinct draws.
+    chunks = np.asarray(a).reshape(8, 4)
+    assert np.unique(chunks.round(6), axis=0).shape[0] == 8
+
+
+def test_sharded_mlmc_manager(tmp_path):
+    TimeManager.reset()
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, 2)
+    cfg = ProblemConfig(
+        refinements=1, mse=1e10, batch_size=12, initial_samples=24,
+        output_filename=str(tmp_path / "shard.dat"),
+    )
+    sampler = SPDESampler(hier, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    sm = SampleMesh()
+    mgr = MLMCManager(solver, sampler, cfg, sharding=sm)
+    assert mgr.batch == 16  # rounded to the device count
+    mgr.init_run([24, 24])
+    assert int(mgr.level_nsamples[0]) == 32  # 2 batches of 16
+    # Statistics are physical.
+    assert 1.0 < mgr.eQ[1] < 5.0
+    assert np.all(mgr.consistency[:1] < 1.0)
+    mgr.close()
+
+
+def test_sharded_matches_unsharded_statistics(tmp_path):
+    # Same law: sharded and unsharded runs agree within MC error.
+    TimeManager.reset()
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, 1)
+    cfg = ProblemConfig(refinements=0, mse=1e10, batch_size=64,
+                        initial_samples=256, output_filename="")
+    sampler = SPDESampler(hier, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    m1 = MLMCManager(solver, sampler, cfg, nlevels=1)
+    m1.init_run([256])
+    m2 = MLMCManager(solver, sampler, cfg, nlevels=1, sharding=SampleMesh())
+    m2.init_run([256])
+    se = np.sqrt(m1.varQ[0] / 256 + m2.varQ[0] / 256)
+    assert abs(m1.eQ[0] - m2.eQ[0]) < 5 * se
