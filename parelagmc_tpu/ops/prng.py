@@ -79,3 +79,37 @@ def sample_normals(key, shape: Tuple[int, ...], dtype=jnp.float32) -> jnp.ndarra
     if jax.default_backend() in ("tpu", "axon"):
         return _pallas_normal(_seed_from_key(key), tuple(shape), dtype)
     return jax.random.normal(key, shape, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _pallas_uniform(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_total = int(np.prod(shape))
+    cols = 1024
+    rows = _round_up(-(-n_total // cols), 8)
+
+    def kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+        out_ref[:] = (
+            pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(seed)
+    return out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
+
+
+def sample_uniforms(key, shape: Tuple[int, ...], dtype=jnp.float32) -> jnp.ndarray:
+    """U[0,1) samples of `shape` - the analog of the reference's
+    UniformDistributionSampler (src/UniformDistributionSampler.hpp:27-64),
+    with the same TPU Pallas fast path as sample_normals."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return _pallas_uniform(_seed_from_key(key), tuple(shape), dtype)
+    return jax.random.uniform(key, shape, dtype=dtype)

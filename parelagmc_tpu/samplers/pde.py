@@ -141,6 +141,7 @@ class SPDESampler(_TensorSPDEBase):
 
     def __init__(self, hierarchy: GeometricHierarchy, config: ProblemConfig, dtype=jnp.float32):
         super().__init__(hierarchy, config, dtype)
+        self._mass_solvers = {}
 
     def field_size(self, level: int) -> int:
         return self.hierarchy.levels[level].n_s
@@ -148,6 +149,41 @@ class SPDESampler(_TensorSPDEBase):
     def eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
         s = self._solve_gaussian(level, xi, xi_level)
         return jnp.exp(s) if self.lognormal else s
+
+    def eval_with_flux(
+        self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None
+    ):
+        """(s, u): the field plus the auxiliary H(div) flux of the mixed SPDE
+        system, u = -M^{-1} B^T s_gauss (the reference's Eval overload
+        returning the velocity block, src/PDESampler.cpp:537-613). Both get
+        exp() under the log-normal flag, matching the reference."""
+        from parelagmc_tpu.ops.mass_solve import build_mass_tridiag_solver
+
+        s_g = self._solve_gaussian(level, xi, xi_level)
+        if level not in self._mass_solvers:
+            lvl = self.hierarchy.levels[level]
+            ess = lvl.ess_faces(np.ones(2 * self.ndim, dtype=int))
+            self._mass_solvers[level] = (
+                build_mass_tridiag_solver(lvl, ess, dtype=self.dtype),
+                jnp.asarray(ess),
+            )
+        solver, ess = self._mass_solvers[level]
+        lvl = self.hierarchy.levels[level]
+        face_cells = jnp.asarray(lvl.face_cells, dtype=jnp.int32)
+        face_signs = jnp.asarray(lvl.face_signs, dtype=self.dtype)
+        bts = jnp.sum(
+            jnp.take(s_g, face_cells.reshape(-1), axis=-1).reshape(
+                s_g.shape[:-1] + face_cells.shape
+            )
+            * face_signs,
+            axis=-1,
+        )
+        bts = jnp.where(ess, 0.0, bts)  # u.n = 0 on the boundary
+        ones = jnp.ones(s_g.shape[:-1] + (lvl.n_s,), dtype=self.dtype)
+        u = -solver(ones, bts)
+        s = jnp.exp(s_g) if self.lognormal else s_g
+        u = jnp.exp(u) if self.lognormal else u  # reference exp()s u too (:605-611)
+        return s, u
 
 
 class EmbeddedSPDESampler(_TensorSPDEBase):

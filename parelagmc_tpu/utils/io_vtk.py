@@ -88,6 +88,51 @@ def save_mesh_mfem(mesh: StructuredMesh, path: str) -> None:
             f.write(" ".join(f"{x:.10g}" for x in p) + "\n")
 
 
+def cell_to_vertex_average(mesh: StructuredMesh, field: np.ndarray) -> np.ndarray:
+    """Volume-weighted average of a cell field onto mesh vertices - the
+    smooth-rendering analog of the reference's H1-projected savers
+    (SaveFieldGLVis_H1, src/PDESampler.cpp:690-755)."""
+    field = np.asarray(field).ravel()
+    d = mesh.dim
+    nvshape = tuple(s + 1 for s in mesh.shape)
+    acc = np.zeros(nvshape[::-1])
+    wacc = np.zeros(nvshape[::-1])
+    vals = field.reshape(mesh.shape[::-1])
+    w = mesh.cell_volumes().reshape(mesh.shape[::-1])
+    # Scatter each cell value to its 2^d corner vertices.
+    for corner in range(2 ** d):
+        slices = []
+        for a in range(d):  # array dims are reversed (z, y, x)
+            off = (corner >> a) & 1
+            n = mesh.shape[d - 1 - a]
+            slices.append(slice(off, n + off))
+        acc[tuple(slices)] += w * vals
+        wacc[tuple(slices)] += w
+    return (acc / wacc).ravel(order="C").reshape(-1)
+
+
+def save_vtk_vertex_field(
+    mesh: StructuredMesh, field: np.ndarray, path: str, name: str = "value"
+) -> None:
+    """Write a vertex (point-data) field as a legacy-VTK rectilinear grid."""
+    field = np.asarray(field).ravel()
+    d = mesh.dim
+    axes = [mesh.axes[a] for a in range(d)] + [np.zeros(1)] * (3 - d)
+    dims = [a.size for a in axes]
+    npts = int(np.prod(dims))
+    assert field.size == npts
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nparelagmc_tpu field\nASCII\n")
+        f.write("DATASET RECTILINEAR_GRID\n")
+        f.write(f"DIMENSIONS {dims[0]} {dims[1]} {dims[2]}\n")
+        for label, a in zip(("X", "Y", "Z"), axes):
+            f.write(f"{label}_COORDINATES {a.size} double\n")
+            f.write(" ".join(f"{x:.10g}" for x in a) + "\n")
+        f.write(f"POINT_DATA {npts}\n")
+        f.write(f"SCALARS {name} double 1\nLOOKUP_TABLE default\n")
+        f.write("\n".join(f"{v:.10g}" for v in field) + "\n")
+
+
 def save_field_glvis(
     mesh: StructuredMesh, field: np.ndarray, path: str
 ) -> None:
