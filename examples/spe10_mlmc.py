@@ -56,12 +56,11 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, mesh="box", ncells=tuple(g // f for g in grid), lengths=lengths
         )
-        ncells = grid
         kinv = load_spe10_kinv(None, ncells=grid)
     else:
-        ncells = (60, 220, 85 if cfg.refinements == 0 else 84)
+        # Full 60x220x85 grid; odd z-counts coarsen by merging the trailing
+        # layer into the last coarse cell (non-dyadic derefinement).
         kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
-        kinv = kinv[: int(np.prod(ncells))]  # drop truncated z-layer
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
     mgr.init_run([cfg.initial_samples] * cfg.nlevels)

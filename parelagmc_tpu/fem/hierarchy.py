@@ -61,12 +61,36 @@ class GeometricHierarchy:
         return x
 
 
+def axis_parent_map(fine_axis: np.ndarray, coarse_axis: np.ndarray) -> np.ndarray:
+    """(n_fine_cells,) coarse cell index containing each fine cell along one
+    axis; the coarse grid lines must be a subset of the fine ones."""
+    centers = 0.5 * (fine_axis[1:] + fine_axis[:-1])
+    j = np.searchsorted(coarse_axis, centers) - 1
+    assert np.all(j >= 0) and np.all(j < coarse_axis.size - 1)
+    return j.astype(np.int64)
+
+
 def rt_prolongator(fine: StructuredMesh, coarse: StructuredMesh) -> sp.csr_matrix:
-    """Exact RT0 embedding matrix P: coarse face dofs -> fine face dofs."""
+    """Exact RT0 embedding matrix P: coarse face dofs -> fine face dofs.
+
+    Works for any nested structured coarsening (coarse grid lines a subset
+    of fine grid lines, arbitrary per-axis grouping - not just dyadic):
+    on a coarse face plane, the coarse normal component is constant, so a
+    fine sub-face carries the transverse area fraction of the coarse flux;
+    on an interior plane at relative position t within the coarse cell, it
+    carries the area fraction of the linear blend (1-t)*F_lo + t*F_hi.
+    """
     d = fine.dim
+    tol = 1e-12
+    parent = [axis_parent_map(fine.axes[a], coarse.axes[a]) for a in range(d)]
+    # Per-axis transverse area fraction factors: fine cell width / coarse
+    # parent cell width.
+    frac = []
+    for a in range(d):
+        wf = np.diff(fine.axes[a])
+        wc = np.diff(coarse.axes[a])
+        frac.append(wf / wc[parent[a]])
     rows, cols, vals = [], [], []
-    child_w = 0.5 ** (d - 1)
-    mid_w = 0.5 ** d
     for a in range(d):
         shape_f = fine.face_grid_shape(a)
         grids = np.meshgrid(
@@ -74,31 +98,61 @@ def rt_prolongator(fine: StructuredMesh, coarse: StructuredMesh) -> sp.csr_matri
         )
         idx_f = [g.ravel(order="F") for g in grids]
         fidx = fine.face_index(a, *idx_f)
-        i_a = idx_f[a]
-        on_plane = (i_a % 2) == 0
-        # Children of coarse faces: same plane, halved transverse indices.
-        cidx_child = [
-            (x // 2) if ax != a else (x // 2) for ax, x in enumerate(idx_f)
+        # Transverse area fraction (product over other axes).
+        area_frac = np.ones(fidx.size)
+        cidx_trans = []
+        for ax in range(d):
+            if ax == a:
+                cidx_trans.append(None)
+                continue
+            area_frac = area_frac * frac[ax][idx_f[ax]]
+            cidx_trans.append(parent[ax][idx_f[ax]])
+        # Along-axis position of each fine face's grid line.
+        x = fine.axes[a][idx_f[a]]
+        j = np.searchsorted(coarse.axes[a], x, side="left")
+        j = np.clip(j, 0, coarse.axes[a].size - 1)
+        on_plane = np.abs(coarse.axes[a][j] - x) <= tol
+        # -- faces on coarse planes: child of coarse face j ------------------
+        sel = on_plane
+        cidx = [
+            (j[sel] if ax == a else cidx_trans[ax][sel]) for ax in range(d)
         ]
-        c_child = coarse.face_index(a, *cidx_child)
-        rows.append(fidx[on_plane])
-        cols.append(c_child[on_plane])
-        vals.append(np.full(on_plane.sum(), child_w))
-        # Mid-plane faces: average of the two parallel coarse faces of the
-        # parent coarse cell (coarse face indices (i-1)/2 and (i-1)/2 + 1).
-        mid = ~on_plane
-        base = (i_a[mid] - 1) // 2
-        for off in (0, 1):
-            cidx_mid = [
-                (base + off) if ax == a else (idx_f[ax][mid] // 2) for ax in range(d)
+        rows.append(fidx[sel])
+        cols.append(coarse.face_index(a, *cidx))
+        vals.append(area_frac[sel])
+        # -- interior faces: blend of the parent cell's two coarse faces ------
+        sel = ~on_plane
+        cell_j = np.searchsorted(coarse.axes[a], x[sel], side="left") - 1
+        x_lo = coarse.axes[a][cell_j]
+        x_hi = coarse.axes[a][cell_j + 1]
+        t = (x[sel] - x_lo) / (x_hi - x_lo)
+        for off, wt in ((0, 1.0 - t), (1, t)):
+            cidx = [
+                ((cell_j + off) if ax == a else cidx_trans[ax][sel])
+                for ax in range(d)
             ]
-            rows.append(fidx[mid])
-            cols.append(coarse.face_index(a, *cidx_mid))
-            vals.append(np.full(mid.sum(), mid_w))
+            rows.append(fidx[sel])
+            cols.append(coarse.face_index(a, *cidx))
+            vals.append(area_frac[sel] * wt)
     return sp.csr_matrix(
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(fine.num_faces, coarse.num_faces),
     )
+
+
+def _finish(meshes: List[StructuredMesh]) -> GeometricHierarchy:
+    nlevels = len(meshes)
+    levels = [build_mixed_level(m) for m in meshes]
+    parent = []
+    for l in range(nlevels - 1):
+        maps = [
+            axis_parent_map(meshes[l].axes[a], meshes[l + 1].axes[a])
+            for a in range(meshes[l].dim)
+        ]
+        idx = meshes[l].cell_multi_index()
+        parent.append(meshes[l + 1].cell_index(*[m[i] for m, i in zip(maps, idx)]))
+    P_rt = [rt_prolongator(meshes[l], meshes[l + 1]) for l in range(nlevels - 1)]
+    return GeometricHierarchy(levels=levels, parent=parent, P_rt=P_rt)
 
 
 def build_geometric_hierarchy(
@@ -109,10 +163,42 @@ def build_geometric_hierarchy(
     meshes = [base_mesh]
     for _ in range(nlevels - 1):
         meshes.append(meshes[-1].refine())
-    meshes = meshes[::-1]  # [0] = finest
-    levels = [build_mixed_level(m) for m in meshes]
-    parent = [
-        meshes[l].parent_cells(meshes[l + 1]) for l in range(nlevels - 1)
-    ]
-    P_rt = [rt_prolongator(meshes[l], meshes[l + 1]) for l in range(nlevels - 1)]
-    return GeometricHierarchy(levels=levels, parent=parent, P_rt=P_rt)
+    return _finish(meshes[::-1])
+
+
+def derefine_axis(axis: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Coarse axis: every `factor`-th grid line, always keeping the last
+    (trailing cells merge into the final coarse cell when the count is not
+    divisible - how SPE10's 85 z-layers coarsen to 42)."""
+    coarse = list(axis[::factor])
+    if coarse[-1] != axis[-1]:
+        coarse[-1] = axis[-1]  # merge trailing fine cells into the last group
+    return np.asarray(coarse)
+
+
+def build_geometric_hierarchy_from_fine(
+    fine_mesh: StructuredMesh, nlevels: int, factor: int = 2
+) -> GeometricHierarchy:
+    """Build `nlevels` levels with `fine_mesh` as level 0, derefining by
+    `factor` per axis toward the coarsest level. Handles odd cell counts
+    (the trailing cells merge into the last coarse cell), so grids like
+    SPE10's 60x220x85 coarsen without truncation - this replaces the
+    reference's METIS agglomeration (src/Utilities.cpp:125-155) for tensor
+    grids; true unstructured agglomeration is planned work."""
+    meshes = [fine_mesh]
+    for _ in range(nlevels - 1):
+        prev = meshes[-1]
+        coarse = StructuredMesh([derefine_axis(a, factor) for a in prev.axes])
+        # Attributes: majority vote is overkill; carry the attribute of the
+        # first child (embedded meshes coarsen consistently when the buffer
+        # width divides the coarsening).
+        maps = [
+            axis_parent_map(prev.axes[a], coarse.axes[a]) for a in range(prev.dim)
+        ]
+        idx = prev.cell_multi_index()
+        par = coarse.cell_index(*[m[i] for m, i in zip(maps, idx)])
+        attrs = np.ones(coarse.num_cells, dtype=np.int32)
+        attrs[par] = prev.attributes
+        coarse.attributes = attrs
+        meshes.append(coarse)
+    return _finish(meshes)

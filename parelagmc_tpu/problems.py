@@ -64,43 +64,50 @@ def _dtype_of(cfg: ProblemConfig):
     ]
 
 
-def base_mesh_spec(cfg: ProblemConfig):
-    """(base_ncells, base_spacings) of the coarsest mesh for the config."""
-    nref = cfg.refinements
-    f = 2 ** nref
+def fine_mesh_spec(cfg: ProblemConfig):
+    """(fine_ncells, fine_spacings) for the configured mesh."""
     if cfg.mesh == "box":
-        ncells = cfg.ncells
-        return ncells, [L / n for L, n in zip(cfg.lengths, ncells)]
+        f = 2 ** cfg.refinements
+        return (
+            tuple(n * f for n in cfg.ncells),
+            [L / (n * f) for L, n in zip(cfg.lengths, cfg.ncells)],
+        )
     if cfg.mesh == "spe10":
-        fine = list(SPE10_NCELLS)
-        if nref > 0:
-            fine[2] = 84  # dyadic z-coarsening (see module docstring)
-        if any(n % f for n in fine):
-            raise ValueError(f"SPE10 grid {fine} not divisible by 2^{nref}")
-        return tuple(n // f for n in fine), [s * f for s in SPE10_SPACING]
+        return tuple(SPE10_NCELLS), list(SPE10_SPACING)
     if cfg.mesh == "egg":
-        fine = list(EGG_NCELLS)
-        if any(n % f for n in fine):
-            raise ValueError(f"Egg grid {fine} not divisible by 2^{nref}")
-        return tuple(n // f for n in fine), [s * f for s in EGG_SPACING]
+        return tuple(EGG_NCELLS), list(EGG_SPACING)
     raise ValueError(f"unknown mesh '{cfg.mesh}'")
 
 
 def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> Problem:
+    from parelagmc_tpu.fem.hierarchy import build_geometric_hierarchy_from_fine
+
     dtype = _dtype_of(cfg)
-    base_ncells, base_spacings = base_mesh_spec(cfg)
-    base = make_box_mesh(base_ncells, spacings=base_spacings)
-    hier = build_geometric_hierarchy(base, cfg.nlevels)
+    fine_ncells, fine_spacings = fine_mesh_spec(cfg)
+    if cfg.embedding != "none" and any(
+        n % 2 ** cfg.refinements for n in fine_ncells
+    ):
+        raise ValueError(
+            "embedding requires per-axis cell counts divisible by "
+            f"2^{cfg.refinements} so the embedded hierarchies stay aligned"
+        )
+    fine = make_box_mesh(fine_ncells, spacings=fine_spacings)
+    hier = build_geometric_hierarchy_from_fine(fine, cfg.nlevels)
 
     embed_hier = None
     if cfg.embedding != "none":
         nb = list(cfg.n_buffer)
         if len(nb) == 1:
-            nb = nb * len(base_ncells)
-        embed_base = make_embedded_box_mesh(
-            base_ncells, spacings=base_spacings, n_buffer=nb
+            nb = nb * len(fine_ncells)
+        f = 2 ** cfg.refinements
+        # Buffer given in coarsest-level cells (reference convention: the
+        # enlarged base mesh adds whole coarse layers).
+        embed_fine = make_embedded_box_mesh(
+            fine_ncells,
+            spacings=fine_spacings,
+            n_buffer=[b * f for b in nb],
         )
-        embed_hier = build_geometric_hierarchy(embed_base, cfg.nlevels)
+        embed_hier = build_geometric_hierarchy_from_fine(embed_fine, cfg.nlevels)
 
     fine_mesh = hier.levels[0].mesh
     if cfg.sampler_name == "pde":

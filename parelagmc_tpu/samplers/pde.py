@@ -83,6 +83,37 @@ def prolong_cells(x: jnp.ndarray, coarse_shape: Tuple[int, ...]) -> jnp.ndarray:
     return z.reshape(batch + (int(np.prod(coarse_shape)) * (2 ** d),))
 
 
+def axis_restriction_matrices(fine_mesh, coarse_mesh, dtype):
+    """Per-axis 0/1 aggregation matrices R_a (nc_a, nf_a) whose tensor
+    product is P_l2^T for any nested structured coarsening (dyadic or not)."""
+    from parelagmc_tpu.fem.hierarchy import axis_parent_map
+
+    mats = []
+    for a in range(fine_mesh.dim):
+        par = axis_parent_map(fine_mesh.axes[a], coarse_mesh.axes[a])
+        nf = par.size
+        nc = coarse_mesh.axes[a].size - 1
+        R = np.zeros((nc, nf))
+        R[par, np.arange(nf)] = 1.0
+        mats.append(jnp.asarray(R, dtype=dtype))
+    return tuple(mats)
+
+
+def restrict_cells_matmul(
+    x: jnp.ndarray, mats, fine_shape: Tuple[int, ...]
+) -> jnp.ndarray:
+    """P_l2^T via per-axis dense matmuls (MXU work); general branching."""
+    d = len(fine_shape)
+    batch = x.shape[:-1]
+    z = x.reshape(batch + tuple(fine_shape[::-1]))
+    for a in range(d):
+        dim = z.ndim - 1 - a
+        z = jnp.moveaxis(z, dim, -1)
+        z = z @ mats[a].T
+        z = jnp.moveaxis(z, -1, dim)
+    return z.reshape(batch + (-1,))
+
+
 class _TensorSPDEBase(MLSampler):
     """Shared machinery: per-level tensor solvers on a 'solve' hierarchy."""
 
@@ -105,6 +136,14 @@ class _TensorSPDEBase(MLSampler):
             jnp.asarray(lvl.w_sqrt, dtype=dtype) for lvl in solve_hierarchy.levels
         ]
         self.shapes = [lvl.mesh.shape for lvl in solve_hierarchy.levels]
+        self.restrict_mats = [
+            axis_restriction_matrices(
+                solve_hierarchy.levels[l].mesh,
+                solve_hierarchy.levels[l + 1].mesh,
+                dtype,
+            )
+            for l in range(solve_hierarchy.nlevels - 1)
+        ]
 
     # -- noise ---------------------------------------------------------------
     def sample_size(self, level: int) -> int:
@@ -126,7 +165,7 @@ class _TensorSPDEBase(MLSampler):
         assert xi_level <= level, "noise must live on the same or a finer level"
         rhs = self.g * self.w_sqrt[xi_level] * xi
         for l in range(xi_level, level):
-            rhs = restrict_cells(rhs, self.shapes[l])
+            rhs = restrict_cells_matmul(rhs, self.restrict_mats[l], self.shapes[l])
         return tensor_solve(self.eigs[level], rhs)
 
     def nnz(self, level: int) -> int:
