@@ -156,6 +156,8 @@ class MixedLevel:
 
 
 def build_mixed_level(mesh: StructuredMesh) -> MixedLevel:
+    """Assemble the level operators with pure index arithmetic - no sorting
+    or scatters, so SPE10-scale meshes (3.4M faces) build in seconds."""
     d = mesh.dim
     n_s = mesh.num_cells
     n_u = mesh.num_faces
@@ -163,39 +165,78 @@ def build_mixed_level(mesh: StructuredMesh) -> MixedLevel:
 
     cell_faces, cell_signs = mesh.cell_faces()
 
-    # face -> adjacent cells (<= 2), with the sign of the face in that cell.
+    # Per-axis direct construction. Array layout is the reversed grid
+    # (z, y, x); mesh axis a is array dim d-1-a; C-order ravel is x-fastest,
+    # matching the global face/cell numbering.
+    rshape = mesh.shape[::-1]
+    cell_ids = np.arange(n_s, dtype=np.int64).reshape(rshape)
+    vol_g = vol.reshape(rshape)
+
     face_cells = np.zeros((n_u, 2), dtype=np.int64)
     face_signs = np.zeros((n_u, 2), dtype=np.float64)
-    face_slot = np.zeros(n_u, dtype=np.int64)
-    cells = np.arange(n_s, dtype=np.int64)
-    for j in range(2 * d):
-        f = cell_faces[:, j]
-        s = face_slot[f]
-        face_cells[f, s] = cells
-        face_signs[f, s] = cell_signs[:, j]
-        face_slot[f] += 1
-
-    # Coefficient-ELL mass matrix.
-    rows, cols, vals, mcells = [], [], [], []
+    m_cols = np.zeros((n_u, 4), dtype=np.int32)
+    m_vals = np.zeros((n_u, 4), dtype=np.float64)
+    m_cells = np.zeros((n_u, 4), dtype=np.int32)
     for a in range(d):
-        h = mesh.cell_widths(a)
-        mdiag = h * h / (3.0 * vol)
-        moff = h * h / (6.0 * vol)
-        lo = cell_faces[:, 2 * a]
-        hi = cell_faces[:, 2 * a + 1]
-        for (r, c, v) in ((lo, lo, mdiag), (hi, hi, mdiag), (lo, hi, moff), (hi, lo, moff)):
-            rows.append(r)
-            cols.append(c)
-            vals.append(v)
-            mcells.append(cells)
-    m_cols, m_vals, m_cells = pack_ell(
-        np.concatenate(rows),
-        np.concatenate(cols),
-        np.concatenate(vals),
-        n_u,
-        cells=np.concatenate(mcells),
-        width=4,
-    )
+        dim_a = d - 1 - a
+        h = np.diff(mesh.axes[a])
+        hshape = [1] * d
+        hshape[dim_a] = h.size
+        h_g = h.reshape(hshape)
+        m3 = np.broadcast_to(h_g * h_g, rshape) / (3.0 * vol_g)
+        m6 = np.broadcast_to(h_g * h_g, rshape) / (6.0 * vol_g)
+
+        def pad(arr, side):
+            """Faces along axis a: value from the lo/hi adjacent cell, zero
+            padding at the boundary."""
+            pw = [(0, 0)] * d
+            pw[dim_a] = (1, 0) if side == "lo" else (0, 1)
+            return np.pad(arr, pw)
+
+        def flat(x):
+            return x.reshape(-1)
+
+        # Global face index grid for this axis, in array layout.
+        fshape_r = list(rshape)
+        fshape_r[dim_a] += 1
+        nfa = int(np.prod(fshape_r))
+        off = int(mesh.face_offsets[a])
+        rows = slice(off, off + nfa)
+        F = off + np.arange(nfa, dtype=np.int64).reshape(fshape_r)
+        take_lo = [slice(None)] * d
+        take_lo[dim_a] = slice(0, fshape_r[dim_a] - 1)
+        take_hi = [slice(None)] * d
+        take_hi[dim_a] = slice(1, fshape_r[dim_a])
+
+        # Adjacent cells (lo = below the face along a, hi = above) and the
+        # sign of the +axis dof seen from each (hi face of lo cell: +1).
+        has_lo = np.zeros(fshape_r, dtype=bool)
+        has_lo[tuple(take_hi)] = True
+        has_hi = np.zeros(fshape_r, dtype=bool)
+        has_hi[tuple(take_lo)] = True
+        face_cells[rows, 0] = flat(pad(cell_ids, "lo"))
+        face_cells[rows, 1] = flat(pad(cell_ids, "hi"))
+        face_signs[rows, 0] = flat(has_lo) * 1.0
+        face_signs[rows, 1] = flat(has_hi) * -1.0
+
+        m_cols[rows, 0] = F.reshape(-1)
+        m_cols[rows, 1] = F.reshape(-1)
+        m_cols[rows, 2] = flat(pad(F[tuple(take_lo)], "lo"))  # face i-1
+        m_cols[rows, 3] = flat(pad(F[tuple(take_hi)], "hi"))  # face i+1
+        m_vals[rows, 0] = flat(pad(m3, "lo"))
+        m_vals[rows, 1] = flat(pad(m3, "hi"))
+        m_vals[rows, 2] = flat(pad(m6, "lo"))
+        m_vals[rows, 3] = flat(pad(m6, "hi"))
+        m_cells[rows, 0] = face_cells[rows, 0]
+        m_cells[rows, 1] = face_cells[rows, 1]
+        m_cells[rows, 2] = face_cells[rows, 0]
+        m_cells[rows, 3] = face_cells[rows, 1]
+    # Zero-padding slots: cols/cells already hold index 0 only where the
+    # value is 0 (boundary pads), except the diag/off slots whose padded
+    # value is 0 - force their cols to 0 for cleanliness.
+    m_cols *= m_vals != 0.0
+    m_cells *= m_vals != 0.0
+    face_cells *= face_signs != 0.0
 
     return MixedLevel(
         mesh=mesh,

@@ -115,6 +115,16 @@ def coef_diag_structure(
     """Extract the diagonal slots of a host-side coefficient-ELL."""
     n, K = m_cols.shape
     rows = np.arange(n)[:, None]
+    # Fast path: build_mixed_level puts the (up to two) diagonal slots first.
+    if K >= 2 and np.all(
+        ((m_cols[:, :2] == rows) | (m_vals[:, :2] == 0.0))
+        & ((m_cols[:, 2:] != rows) | (m_vals[:, 2:] == 0.0))
+    ):
+        vals01 = np.where(m_cols[:, :2] == rows, m_vals[:, :2], 0.0)
+        return DiagCoef(
+            jnp.asarray(m_cells[:, :2], dtype=jnp.int32),
+            jnp.asarray(vals01, dtype=dtype),
+        )
     is_diag = (m_cols == rows) & (m_vals != 0.0)
     kd = int(is_diag.sum(axis=1).max()) if n else 0
     r_idx, j_idx = np.nonzero(is_diag)
