@@ -107,6 +107,9 @@ class MLMCManager:
         self.consistency = np.zeros(self.nlevels)
         self.VC = np.zeros(self.nlevels)
         self.cost = np.zeros(self.nlevels)
+        # Observability: mean Krylov iterations per level step (solver health;
+        # the reference prints per-solve iteration counts when verbose).
+        self.solver_iterations = np.zeros(self.nlevels)
 
         self._key = jax.random.PRNGKey(config.seed)
         self._counter = 0
@@ -182,6 +185,7 @@ class MLMCManager:
                 key = self._next_key(level)
                 with TimeManager.timed(timer_name):
                     q, qc, iters = jax.block_until_ready(step(key))
+                self.solver_iterations[level] = float(np.mean(np.asarray(iters)))
                 q = np.asarray(q, dtype=np.float64)
                 qc = np.asarray(qc, dtype=np.float64)
                 y = q - qc
@@ -399,6 +403,7 @@ class MLMCManager:
             vec("V[Y_l]*C_l", self.VC),
             vec("Consistency", self.consistency),
             vec("Kurtosis", self.kurtosis),
+            vec("Solver iterations (mean)", self.solver_iterations),
             "=" * 79,
         ]
         return "\n".join(lines)

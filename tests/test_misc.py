@@ -57,3 +57,30 @@ def test_save_vtk_vertex_field(tmp_path):
     save_vtk_vertex_field(mesh, v, path)
     txt = open(path).read()
     assert "POINT_DATA 9" in txt
+
+
+def test_reporting_helpers():
+    from parelagmc_tpu.utils.reporting import (
+        chi_center_of_mass,
+        dofs_info_table,
+        find_closest_cell,
+        random_field_errors_table,
+    )
+    mesh = make_box_mesh((4, 4), lengths=(2.0, 2.0))
+    e = find_closest_cell(mesh, (1.0, 1.0))
+    c = mesh.cell_centers()[e]
+    assert np.abs(c - 1.0).max() <= 0.25
+    chi = chi_center_of_mass(mesh)
+    assert chi.sum() == 1.0
+    t = dofs_info_table([100, 25], nnz=[500, 120], iters=[3.5, 2.0])
+    assert "level" in t and "500" in t
+    t2 = random_field_errors_table([0.1, 0.2], [0.3, 0.4])
+    assert "E[s]" in t2
+
+
+def test_glvis_plot_no_server():
+    from parelagmc_tpu.utils.reporting import glvis_plot
+
+    mesh = make_box_mesh((2, 2), lengths=(1.0, 1.0))
+    # No GLVis server in this environment: must return False, not raise.
+    assert glvis_plot(mesh, np.zeros(4), port=59999) is False
