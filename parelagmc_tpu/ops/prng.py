@@ -31,22 +31,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_BLOCK_ROWS = 512
+_COLS = 1024
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_total = int(np.prod(shape))
-    # Pad to a VPU-friendly 2D block.
-    cols = 1024
+    cols = _COLS
     rows = _round_up(-(-n_total // cols), 8)
+    block = min(_BLOCK_ROWS, rows)
+    nblocks = -(-rows // block)
+    rows = nblocks * block  # VMEM-bounded row blocks over a 1D grid
 
     def kernel(seed_ref, out_ref):
-        pltpu.prng_seed(seed_ref[0])
+        # Independent hardware-PRNG stream per grid block.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         # prng_random_bits may come back as int32; force uint32 before the
         # logical shift so sign bits don't leak into the exponent.
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
         # uint32 -> uniform [0, 1): top 23 bits into a [1, 2) float mantissa.
         u1 = pltpu.bitcast(
             (bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32
@@ -61,9 +68,12 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
 
     out = pl.pallas_call(
         kernel,
+        grid=(nblocks,),
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
     )(seed)
     return out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
 
@@ -87,21 +97,27 @@ def _pallas_uniform(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.nda
     from jax.experimental.pallas import tpu as pltpu
 
     n_total = int(np.prod(shape))
-    cols = 1024
+    cols = _COLS
     rows = _round_up(-(-n_total // cols), 8)
+    block = min(_BLOCK_ROWS, rows)
+    nblocks = -(-rows // block)
+    rows = nblocks * block
 
     def kernel(seed_ref, out_ref):
-        pltpu.prng_seed(seed_ref[0])
-        bits = pltpu.bitcast(pltpu.prng_random_bits((rows, cols)), jnp.uint32)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
         out_ref[:] = (
             pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
         )
 
     out = pl.pallas_call(
         kernel,
+        grid=(nblocks,),
         out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
     )(seed)
     return out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
 
