@@ -225,4 +225,22 @@ class ProblemConfig:
             kw["qoi_eps"] = prob["Epsilon for local average pressure QoI"]
         if "Verbosity" in prob:
             kw["verbose"] = prob["Verbosity"]
+        bayes = plist.get("Bayesian inverse problem parameters")
+        if bayes:
+            if "Noise" in bayes:
+                kw["bayes_noise"] = bayes["Noise"]
+            if "Number of observational data points" in bayes:
+                kw["bayes_num_obs"] = bayes["Number of observational data points"]
+            if "Epsilon for local average pressure" in bayes:
+                kw["bayes_eps"] = bayes["Epsilon for local average pressure"]
+            if "Observational data coordinates" in bayes:
+                kw["bayes_obs_coords"] = tuple(bayes["Observational data coordinates"])
+            if "Generate reference observational data" in bayes:
+                kw["bayes_generate_ref_data"] = bayes[
+                    "Generate reference observational data"
+                ]
+            if "Reference observational data filename" in bayes:
+                kw["bayes_ref_data_file"] = bayes[
+                    "Reference observational data filename"
+                ]
         return replace(cfg, **kw)
