@@ -6,8 +6,9 @@ from parelagmc_tpu.problems import build_problem
 
 t0=time.perf_counter()
 cfg = ProblemConfig(mesh="spe10", refinements=1, batch_size=8, correlation_length=100.0)
-cfg.darcy_solver.relative_tolerance = 1e-4
-cfg.darcy_solver.max_iterations = 150
+cfg.darcy_solver.relative_tolerance = 1e-3
+cfg.darcy_solver.restart_every = 40
+cfg.darcy_solver.max_iterations = 250
 kinv = load_spe10_kinv(None, ncells=(60,220,85))
 prob = build_problem(cfg, kinv_ref=kinv)
 print("setup: %.1fs" % (time.perf_counter()-t0), flush=True)

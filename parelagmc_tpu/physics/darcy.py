@@ -72,6 +72,74 @@ class DarcyLevel(NamedTuple):
     schur: TensorEig  # exact S(1) factors (alpha = 0, Darcy BCs)
     kinv_logmean: float  # log geometric mean of the static kinv_ref (0 if none)
     mass_solver: MassTridiagSolver  # exact M(w)^{-1} (tensor-grid tridiagonals)
+    schur_mg: object  # Optional[MGHierarchy]: kinv-aware Schur preconditioner
+
+
+def _assemble_sbar(mesh, kinv, ess_attr):
+    """Static variable-coefficient pressure Schur complement
+    S_bar = B diag(M(1; kinv))^{-1} B^T as scipy CSR (the sample field w is
+    a bounded lognormal multiplier on top of kinv, so S_bar captures the
+    dominant - e.g. SPE10's ~1e6 - coefficient contrast)."""
+    import scipy.sparse as sp
+
+    from parelagmc_tpu.fem.assembly import build_mixed_level
+
+    lvl = build_mixed_level(mesh)
+    d = mesh.dim
+    ess = lvl.ess_faces(np.asarray(ess_attr[: 2 * d], dtype=np.int64))
+    face_ax = mesh.face_axis()
+    mv = lvl.m_vals * kinv[lvl.m_cells, face_ax[:, None]]
+    diag = mv[:, 0] + mv[:, 1]  # diag slots are first two by construction
+    dinv = np.where(ess | (diag <= 0), 0.0, 1.0 / np.maximum(diag, 1e-300))
+    signs = np.where(ess[lvl.cell_faces], 0.0, lvl.cell_signs)
+    rows = np.repeat(np.arange(lvl.n_s), lvl.cell_faces.shape[1])
+    B = sp.csr_matrix(
+        (signs.ravel(), (rows, lvl.cell_faces.ravel())), shape=(lvl.n_s, lvl.n_u)
+    )
+    return (B @ sp.diags(dinv) @ B.T).tocsr()
+
+
+def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int):
+    """Geometric multigrid hierarchy on S_bar: derefine below the MLMC level
+    as far as needed, rediscretizing the coefficient by volume-weighted
+    averaging, until the coarsest grid is dense-invertible. The TPU-native
+    replacement for the reference's per-sample BoomerAMG on heterogeneous
+    media (src/DarcySolver.cpp:562-649)."""
+    from parelagmc_tpu.fem.hierarchy import axis_parent_map, derefine_axis
+    from parelagmc_tpu.mesh.structured import StructuredMesh
+    from parelagmc_tpu.ops.multigrid import build_mg_hierarchy
+
+    import scipy.sparse as sp
+
+    meshes = [mesh]
+    kinvs = [np.asarray(kinv, dtype=np.float64)]
+    while meshes[-1].num_cells > cutoff and max(meshes[-1].shape) > 2:
+        prev = meshes[-1]
+        coarse = StructuredMesh([derefine_axis(a) for a in prev.axes])
+        maps = [axis_parent_map(prev.axes[a], coarse.axes[a]) for a in range(prev.dim)]
+        idx = prev.cell_multi_index()
+        par = coarse.cell_index(*[m[i] for m, i in zip(maps, idx)])
+        Wf = prev.cell_volumes()
+        acc = np.zeros((coarse.num_cells, kinvs[-1].shape[1]))
+        np.add.at(acc, par, Wf[:, None] * kinvs[-1])
+        kinvs.append(acc / coarse.cell_volumes()[:, None])
+        meshes.append(coarse)
+    mats = [_assemble_sbar(m, k, ess_attr) for m, k in zip(meshes, kinvs)]
+    ps = []
+    for l in range(len(meshes) - 1):
+        maps = [
+            axis_parent_map(meshes[l].axes[a], meshes[l + 1].axes[a])
+            for a in range(meshes[l].dim)
+        ]
+        idx = meshes[l].cell_multi_index()
+        par = meshes[l + 1].cell_index(*[m[i] for m, i in zip(maps, idx)])
+        ps.append(
+            sp.csr_matrix(
+                (np.ones(meshes[l].num_cells), (np.arange(meshes[l].num_cells), par)),
+                shape=(meshes[l].num_cells, meshes[l + 1].num_cells),
+            )
+        )
+    return build_mg_hierarchy(mats, ps, dtype)
 
 
 class DarcySolver:
@@ -198,6 +266,14 @@ class DarcySolver:
                     mass_solver=build_mass_tridiag_solver(
                         lvl, ess, kinv_ref=kinv_levels[l], dtype=dtype
                     ),
+                    schur_mg=(
+                        _build_schur_mg(
+                            lvl.mesh, kinv_levels[l], ess_attr, dtype,
+                            config.sampler_solver.coarse_dense_cutoff,
+                        )
+                        if kinv_levels[l] is not None
+                        else None
+                    ),
                 )
             )
         self.solver_cfg = config.darcy_solver
@@ -322,8 +398,18 @@ class DarcySolver:
         g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
         Minv = lambda r: L.mass_solver(w, r)
         rhs_s = self._apply_B(L, Minv(f)) - g
-        w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True) + L.kinv_logmean)
-        prec = lambda r: w_bar * tensor_solve(L.schur, r)
+        if L.schur_mg is not None:
+            # kinv-aware geometric MG on S_bar; the per-sample lognormal
+            # multiplier contributes only its geometric-mean scale.
+            from parelagmc_tpu.ops.multigrid import v_cycle
+
+            w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+            prec = lambda r: w_bar * v_cycle(L.schur_mg, r)
+        else:
+            w_bar = jnp.exp(
+                jnp.mean(jnp.log(w), axis=-1, keepdims=True) + L.kinv_logmean
+            )
+            prec = lambda r: w_bar * tensor_solve(L.schur, r)
         apply_S = lambda p: self._apply_B(L, Minv(self._apply_Bt(L, p)))
         p, info = pcg(
             apply_S,
