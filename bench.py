@@ -56,7 +56,9 @@ def main() -> None:
         q, _, _ = solver.solve_fwd(0, s_f)
         return q, q - qc
 
-    step = jax.jit(pair_step)
+    from parelagmc_tpu.ops.jit_utils import jit_hoisted
+
+    step = jit_hoisted(pair_step, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(0)
     # Warmup/compile.
     jax.block_until_ready(step(key))

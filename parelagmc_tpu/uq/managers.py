@@ -155,7 +155,12 @@ class MLMCManager:
 
         if self.sharding is not None:
             step = self.sharding.shard_step(step)
-        self._steps[level] = jax.jit(step)
+        # Hoist the closed-over operator pytrees into runtime arguments -
+        # plain jit would embed them as module constants (prohibitive at
+        # SPE10 scale; see ops/jit_utils.py).
+        from parelagmc_tpu.ops.jit_utils import jit_hoisted
+
+        self._steps[level] = jit_hoisted(step, self._key)
         return self._steps[level]
 
     def _next_key(self, level: int):
@@ -179,7 +184,7 @@ class MLMCManager:
             if level not in self._compiled:
                 # AOT-compile outside the cost-model timer: the walltime cost
                 # feeds the N_l allocation and must not include compilation.
-                step.lower(self._key).compile()  # dummy key: AOT needs shapes only
+                step.aot_compile()  # compiles with a dummy key; no RNG counter used
                 self._compiled.add(level)
             for _ in range(nbatches):
                 key = self._next_key(level)

@@ -129,7 +129,9 @@ class BayesRatioManager:
                 )
                 return r, rc, z, zc
 
-        self._steps[level] = jax.jit(step)
+        from parelagmc_tpu.ops.jit_utils import jit_hoisted
+
+        self._steps[level] = jit_hoisted(step, self._key)
         return self._steps[level]
 
     def _next_key(self, level: int):
@@ -148,7 +150,7 @@ class BayesRatioManager:
             step = self._step(level)
             timer_name = f"Ratio MC Sample -- Level {level}"
             if level not in self._compiled:
-                step.lower(self._key).compile()  # dummy key: AOT needs shapes only
+                step.aot_compile()  # compiles with a dummy key; no RNG counter used
                 self._compiled.add(level)
             coarsest = level == self.nlevels - 1
             for _ in range(nbatches):
