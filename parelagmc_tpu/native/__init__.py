@@ -54,7 +54,7 @@ def _lib():
         lib.mortar_p0_couple.restype = ctypes.c_int64
         lib.mortar_p0_couple.argtypes = [
             f64p, i64p, ctypes.c_int64, f64p, i64p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
             i64p, i64p, f64p, ctypes.c_int64,
         ]
         lib.detect_intersections_bruteforce.restype = ctypes.c_int64
@@ -112,17 +112,34 @@ def mesh_arrays(mesh) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.ascontiguousarray(conn, dtype=np.int64)
 
 
+def _as_arrays(mesh):
+    """(verts, conn) for a StructuredMesh, GeneralMesh, or raw pair."""
+    if isinstance(mesh, tuple):
+        v, c = mesh
+        return np.ascontiguousarray(v, dtype=np.float64), np.ascontiguousarray(
+            c, dtype=np.int64
+        )
+    if hasattr(mesh, "elements"):  # GeneralMesh (single element type)
+        conn = np.stack(mesh.elements)
+        return (
+            np.ascontiguousarray(mesh.vertices, dtype=np.float64),
+            np.ascontiguousarray(conn, dtype=np.int64),
+        )
+    return mesh_arrays(mesh)
+
+
 def mortar_p0_couple(mesh1, mesh2, tol: float = 1e-12):
     """Native-assembled P0 mortar coupling G[i, j] = |K_i^1 cap K_j^2| as a
     scipy CSR matrix. Works for any pair of convex planar-faced cell
-    meshes; on axis-aligned tensor grids it equals the per-axis overlap
-    Kronecker product (samplers.pde.mortar_coupling) exactly."""
+    meshes - including mixed pairs (tets vs hexes); on axis-aligned tensor
+    grids it equals the per-axis overlap Kronecker product
+    (samplers.pde.mortar_coupling) exactly. Accepts StructuredMesh,
+    mfem_io.GeneralMesh, or raw (vertices, connectivity) pairs."""
     import scipy.sparse as sp
 
-    v1, c1 = mesh_arrays(mesh1)
-    v2, c2 = mesh_arrays(mesh2)
+    v1, c1 = _as_arrays(mesh1)
+    v2, c2 = _as_arrays(mesh2)
     dim = v1.shape[1]
-    nv = c1.shape[1]
     cap = max(16 * max(c1.shape[0], c2.shape[0]), 1024)
     lib = _lib()
     while True:
@@ -130,7 +147,8 @@ def mortar_p0_couple(mesh1, mesh2, tol: float = 1e-12):
         out_j = np.empty(cap, dtype=np.int64)
         out_v = np.empty(cap, dtype=np.float64)
         n = lib.mortar_p0_couple(
-            v1, c1, c1.shape[0], v2, c2, c2.shape[0], nv, dim, tol,
+            v1, c1, c1.shape[0], v2, c2, c2.shape[0],
+            c1.shape[1], c2.shape[1], dim, tol,
             out_i, out_j, out_v, cap,
         )
         if n >= 0:

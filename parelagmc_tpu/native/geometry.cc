@@ -363,31 +363,31 @@ extern "C" {
 // count, or -(needed) if max_out was too small.
 int64_t mortar_p0_couple(const double* verts1, const int64_t* conn1,
                          int64_t ne1, const double* verts2,
-                         const int64_t* conn2, int64_t ne2, int32_t nv,
-                         int32_t dim, double tol, int64_t* out_i,
+                         const int64_t* conn2, int64_t ne2, int32_t nv1,
+                         int32_t nv2, int32_t dim, double tol, int64_t* out_i,
                          int64_t* out_j, double* out_v, int64_t max_out) {
   HashGrid grid;
-  grid.build(verts2, conn2, nv, dim, ne2);
+  grid.build(verts2, conn2, nv2, dim, ne2);
   int64_t count = 0;
   std::vector<int64_t> cands;
   double lo1[3], hi1[3], lo2[3], hi2[3];
   std::vector<Plane3> p3(2 * kMaxPlanes);
   std::vector<Plane2> p2(2 * kMaxPlanes);
   for (int64_t e1 = 0; e1 < ne1; ++e1) {
-    element_aabb(verts1, conn1, nv, dim, e1, lo1, hi1);
+    element_aabb(verts1, conn1, nv1, dim, e1, lo1, hi1);
     grid.query(lo1, hi1, &cands);
     int np1 = 0;
-    if (dim == 3) np1 = element_planes_3d(verts1, conn1, nv, e1, p3.data());
-    else np1 = element_planes_2d(verts1, conn1, nv, e1, p2.data());
+    if (dim == 3) np1 = element_planes_3d(verts1, conn1, nv1, e1, p3.data());
+    else np1 = element_planes_2d(verts1, conn1, nv1, e1, p2.data());
     for (int64_t e2 : cands) {
-      element_aabb(verts2, conn2, nv, dim, e2, lo2, hi2);
+      element_aabb(verts2, conn2, nv2, dim, e2, lo2, hi2);
       if (!aabb_overlap(lo1, hi1, lo2, hi2, dim, tol)) continue;
       double vol = 0.0;
       if (dim == 3) {
-        int np2 = element_planes_3d(verts2, conn2, nv, e2, p3.data() + np1);
+        int np2 = element_planes_3d(verts2, conn2, nv2, e2, p3.data() + np1);
         vol = intersect_volume_3d(p3.data(), np1 + np2, tol);
       } else {
-        int np2 = element_planes_2d(verts2, conn2, nv, e2, p2.data() + np1);
+        int np2 = element_planes_2d(verts2, conn2, nv2, e2, p2.data() + np1);
         vol = intersect_area_2d(p2.data(), np1 + np2, tol);
       }
       if (vol > tol) {

@@ -76,30 +76,23 @@ def test_mortar_general_affine_cells():
     sheared = verts.copy()
     sheared[:, 1] += 0.3 * sheared[:, 0]
 
-    # Build a minimal shim object exposing the native-layout arrays.
-    class _RawMesh:
-        def __init__(self, v, c, shape):
-            self._v, self._c = v, c
-            self.dim = v.shape[1]
-            self.shape = shape
-
-    import parelagmc_tpu.native as native
-
-    # monkey-friendly: call the lib directly via arrays
-    import scipy.sparse as sp
-
-    lib = native._lib()
-    v2, c2 = sheared, conn
     big = make_box_mesh((4, 4), origin=(-0.5, -0.5), lengths=(2.5, 2.5))
-    v1, c1 = mesh_arrays(big)
-    cap = 4096
-    out_i = np.empty(cap, dtype=np.int64)
-    out_j = np.empty(cap, dtype=np.int64)
-    out_v = np.empty(cap, dtype=np.float64)
-    n = lib.mortar_p0_couple(
-        v1, c1, c1.shape[0], np.ascontiguousarray(v2), c2, c2.shape[0],
-        4, 2, 1e-12, out_i, out_j, out_v, cap,
-    )
-    assert n > 0
+    G = mortar_p0_couple(big, (sheared, conn))
     # The sheared mesh (area 1) lies fully inside the big mesh.
-    np.testing.assert_allclose(out_v[:n].sum(), 1.0, rtol=1e-10)
+    np.testing.assert_allclose(float(G.sum()), 1.0, rtol=1e-10)
+
+
+def test_mortar_mixed_tet_hex():
+    # Tet mesh from the reference (unit cube as 6 tets) against an
+    # axis-aligned hex mesh: mixed element types in one coupling.
+    from parelagmc_tpu.mesh.mfem_io import read_mfem_mesh
+
+    gm = read_mfem_mesh("/root/reference/meshes/cube_tet.mesh")
+    box = make_box_mesh((3, 3, 3), origin=(-0.2, -0.2, -0.2), lengths=(1.4, 1.4, 1.4))
+    G = mortar_p0_couple(gm, box)
+    assert G.shape == (6, 27)
+    # Each tet (1/6 volume) fully covered; total = 1.
+    np.testing.assert_allclose(
+        np.asarray(G.sum(axis=1)).ravel(), 1.0 / 6.0, rtol=1e-10
+    )
+    np.testing.assert_allclose(float(G.sum()), 1.0, rtol=1e-12)
