@@ -25,7 +25,7 @@ src/MeshUtilities.cpp:186-266) holds here by construction:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ managers' per-level steps.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 from jax import tree_util

@@ -18,11 +18,10 @@ trace time - no dynamic control flow.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-import scipy.sparse as sp
 
 from parelagmc_tpu.ops.ell import ELL, ell_apply, pack_csr_to_ell
 

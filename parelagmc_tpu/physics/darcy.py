@@ -36,8 +36,7 @@ finest level and restricted through P^T exactly like the reference:
 
 from __future__ import annotations
 
-import math
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +52,7 @@ from parelagmc_tpu.ops.ell import (
     pack_coef_ell,
 )
 from parelagmc_tpu.ops.mass_solve import MassTridiagSolver, build_mass_tridiag_solver
-from parelagmc_tpu.ops.solvers import SolveInfo, minres, pcg
+from parelagmc_tpu.ops.solvers import minres, pcg
 from parelagmc_tpu.ops.tensorsolve import TensorEig, build_tensor_solver, tensor_solve
 
 

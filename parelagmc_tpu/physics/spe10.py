@@ -19,11 +19,11 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
-from parelagmc_tpu.mesh.factories import SPE10_NCELLS, SPE10_SPACING
+from parelagmc_tpu.mesh.factories import SPE10_NCELLS
 
 
 def read_spe_perm(path: str, ncells: Sequence[int] = SPE10_NCELLS) -> np.ndarray:

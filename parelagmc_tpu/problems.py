@@ -9,25 +9,23 @@ Mesh notes:
 * "box": cfg.ncells is the *coarsest* mesh; cfg.refinements uniform
   refinements define the finer levels (matching the reference's
   serial+parallel refinement semantics with geometric coarsening).
-* "spe10": the fine mesh is the 60x220x85-cell SPE10 grid; for multilevel
-  runs the z-extent is truncated to 84 layers so dyadic geometric
-  coarsening applies (the reference coarsens SPE10 algebraically with
-  METIS, src/Utilities.cpp:125-155 - unstructured agglomeration is a
-  planned extension).
-* "egg": the embedded Egg-model grid (60x60x7 + buffer within an embedded
-  sampler; here the plain grid).
+* "spe10": the fine mesh is the full 60x220x85-cell SPE10 grid; the odd
+  z-count coarsens non-dyadically (trailing layer merges into the last
+  coarse cell) - the structured stand-in for the reference's METIS
+  agglomeration (src/Utilities.cpp:125-155).
+* "egg": the Egg-model grid (60x60x7); the embedded variants add buffer
+  layers via cfg.embedding.
 """
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from parelagmc_tpu.config import ProblemConfig
-from parelagmc_tpu.fem import GeometricHierarchy, build_geometric_hierarchy
+from parelagmc_tpu.fem import GeometricHierarchy
 from parelagmc_tpu.mesh.factories import (
     EGG_NCELLS,
     EGG_SPACING,

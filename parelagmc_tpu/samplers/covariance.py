@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import abc
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

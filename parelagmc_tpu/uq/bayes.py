@@ -23,7 +23,7 @@ from one prior draw or loaded from file (reference :125-176).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

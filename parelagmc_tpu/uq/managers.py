@@ -30,7 +30,6 @@ Y = Q_f - Q_c), where the reference's code has a '+' (MLMC_Manager.cpp:329).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
 import jax

@@ -9,8 +9,6 @@ constant fields in MFEM's native format (GLVis).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from parelagmc_tpu.mesh.structured import StructuredMesh

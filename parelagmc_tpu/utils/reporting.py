@@ -88,7 +88,6 @@ def glvis_plot(
     """Send a cell field to a running GLVis server over its socket protocol
     (reference: PDESampler::glvis_plot, src/PDESampler.cpp:757-770).
     Returns False (without raising) when no server is listening."""
-    import io
     import socket
 
     from parelagmc_tpu.utils.io_vtk import save_field_glvis, save_mesh_mfem

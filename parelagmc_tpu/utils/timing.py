@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 from collections import OrderedDict
 from contextlib import contextmanager
-from typing import Dict, Optional
+from typing import Dict
 
 
 class _Watch:

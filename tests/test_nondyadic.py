@@ -82,3 +82,18 @@ def test_spe10_full_grid_builds():
     Q, cost, info = prob.solver.solve_fwd(1, w)
     assert bool(info.converged.all())
     assert np.isfinite(float(Q[0]))
+
+
+def test_egg_model_builds_and_samples():
+    # Egg-model grid (60x60x7, odd z): non-dyadic coarsening + SPDE sampler.
+    import jax
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh="egg", refinements=1, dtype="float64", correlation_length=30.0
+    )
+    prob = build_problem(cfg)
+    assert prob.hierarchy.levels[0].mesh.shape == (60, 60, 7)
+    assert prob.hierarchy.levels[1].mesh.shape == (30, 30, 3)
+    s = prob.sampler.eval(0, prob.sampler.sample(0, jax.random.PRNGKey(0), 2))
+    assert np.isfinite(np.asarray(s)).all()
