@@ -116,9 +116,10 @@ def coef_diag_structure(
     n, K = m_cols.shape
     rows = np.arange(n)[:, None]
     # Fast path: build_mixed_level puts the (up to two) diagonal slots first.
-    if K >= 2 and np.all(
-        ((m_cols[:, :2] == rows) | (m_vals[:, :2] == 0.0))
-        & ((m_cols[:, 2:] != rows) | (m_vals[:, 2:] == 0.0))
+    if (
+        K >= 2
+        and np.all((m_cols[:, :2] == rows) | (m_vals[:, :2] == 0.0))
+        and np.all((m_cols[:, 2:] != rows) | (m_vals[:, 2:] == 0.0))
     ):
         vals01 = np.where(m_cols[:, :2] == rows, m_vals[:, :2], 0.0)
         return DiagCoef(
