@@ -1,0 +1,105 @@
+"""Multilevel invariants on unstructured simplicial hierarchies."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from parelagmc_tpu.fem.simplicial_hierarchy import (
+    build_simplicial_hierarchy,
+    refine_simplicial,
+)
+from parelagmc_tpu.mesh.mfem_io import read_mfem_mesh
+
+MESHES = "/root/reference/meshes"
+
+
+@pytest.mark.parametrize("name,nchild", [("square.mesh", 4), ("cube_tet.mesh", 8)])
+def test_refinement_volumes_and_counts(name, nchild):
+    gm = read_mfem_mesh(f"{MESHES}/{name}")
+    fine, parent = refine_simplicial(gm)
+    assert fine.num_cells == nchild * gm.num_cells
+    assert parent.shape == (fine.num_cells,)
+    # Children volumes sum to the parent volume.
+    from parelagmc_tpu.fem.simplicial import build_simplicial_level
+
+    lc = build_simplicial_level(gm)
+    lf = build_simplicial_level(fine)
+    sums = np.zeros(gm.num_cells)
+    np.add.at(sums, parent, lf.W)
+    np.testing.assert_allclose(sums, lc.W, rtol=1e-12)
+    # Boundary faces refined with attributes preserved.
+    assert len(fine.boundary) == (2 if gm.dim == 2 else 4) * len(gm.boundary)
+
+
+@pytest.mark.parametrize("name", ["square.mesh", "cube_tet.mesh"])
+def test_rt_embedding_exact(name):
+    gm = read_mfem_mesh(f"{MESHES}/{name}")
+    hier = build_simplicial_hierarchy(gm, 2)
+    fine, coarse = hier.levels[0], hier.levels[1]
+    P = hier.P_rt[0]
+    # Exact nested embedding: P^T M_f P == M_c.
+    Mf = fine.mass_csr()
+    Mc = coarse.mass_csr()
+    np.testing.assert_allclose((P.T @ Mf @ P).toarray(), Mc.toarray(), atol=1e-12)
+    # Commuting diagram: Div_f P u_c == parent-injected Div_c u_c.
+    rng = np.random.default_rng(0)
+    uc = rng.normal(size=coarse.n_u)
+    div_f = (fine.b_csr() @ (P @ uc)) / fine.W
+    div_c = (coarse.b_csr() @ uc) / coarse.W
+    np.testing.assert_allclose(div_f, div_c[hier.parent[0]], atol=1e-10)
+    # P^T W_f P == W_c for the P0 injection.
+    Pl2 = hier.p_l2(0)
+    np.testing.assert_allclose(
+        (Pl2.T @ sp.diags(fine.W) @ Pl2).toarray(), np.diag(coarse.W), atol=1e-13
+    )
+
+
+def test_three_level_tet_hierarchy():
+    gm = read_mfem_mesh(f"{MESHES}/cube_tet.mesh")
+    hier = build_simplicial_hierarchy(gm, 3)
+    assert [lvl.n_s for lvl in hier.levels] == [384, 48, 6]
+    # Composite embedding still exact across two levels.
+    P = hier.P_rt[0] @ hier.P_rt[1]
+    Mf = hier.levels[0].mass_csr()
+    Mc = hier.levels[2].mass_csr()
+    np.testing.assert_allclose((P.T @ Mf @ P).toarray(), Mc.toarray(), atol=1e-12)
+
+
+def test_mlmc_on_cube_tet(tmp_path):
+    # MLMC with the SPDE sampler + Darcy QoI on the reference's tetrahedral
+    # cube mesh (the BASELINE.json configuration class), 3 nested levels.
+    import jax.numpy as jnp
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.unstructured import (
+        UnstructuredDarcySolver,
+        UnstructuredSPDESampler,
+        label_box_boundaries_gm,
+    )
+    from parelagmc_tpu.uq import MLMCManager
+    from parelagmc_tpu.utils.timing import TimeManager
+
+    TimeManager.reset()
+    gm = read_mfem_mesh(f"{MESHES}/cube_tet.mesh")
+    label_box_boundaries_gm(gm)
+    hier = build_simplicial_hierarchy(gm, 3)
+    cfg = ProblemConfig(
+        refinements=2, mse=1e10, batch_size=16, initial_samples=16,
+        correlation_length=0.4, variance=0.25,  # crude mesh: keep the
+        # lognormal tails bounded (marginal variance inflates on 6-48 cells)
+        output_filename=str(tmp_path / "tet_mlmc.dat"),
+    )
+    sampler = UnstructuredSPDESampler(hier, cfg, jnp.float64)
+    solver = UnstructuredDarcySolver(hier, cfg, jnp.float64)
+    # Deterministic sanity on every level first: k=1 -> Q = 1 on the unit cube.
+    for level in range(3):
+        w1 = jnp.ones((1, hier.levels[level].n_s), dtype=jnp.float64)
+        Q, _, info = solver.solve_fwd(level, w1)
+        np.testing.assert_allclose(float(Q[0]), 1.0, rtol=1e-5)
+    mgr = MLMCManager(solver, sampler, cfg)
+    mgr.init_run([16, 16, 16])
+    # Telescoping consistency and physical estimates.
+    assert np.all(mgr.consistency[:2] < 1.0)
+    assert 0.2 < mgr.eQ[0] < 10.0
+    # Coupled coarse fields have the native coarse law: Var[Y] decays.
+    assert mgr.varY[0] < mgr.varQ[0]
+    mgr.close()
