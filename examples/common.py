@@ -18,7 +18,8 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
     p = argparse.ArgumentParser()
     p.add_argument("-f", "--xml-file", default=None,
                    help="reference-format XML ParameterList")
-    p.add_argument("--mesh", default=None, choices=["box", "spe10", "egg"])
+    p.add_argument("--mesh", default=None,
+                   help="box | spe10 | egg | path/to/file.mesh")
     p.add_argument("--sampler", default=None, choices=["pde", "analytic", "matern"])
     p.add_argument("--embedding", default=None,
                    choices=["none", "matching", "projection"])

@@ -81,6 +81,8 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
     from parelagmc_tpu.fem.hierarchy import build_geometric_hierarchy_from_fine
 
     dtype = _dtype_of(cfg)
+    if cfg.mesh.endswith(".mesh"):
+        return _build_from_mesh_file(cfg, dtype)
     fine_ncells, fine_spacings = fine_mesh_spec(cfg)
     if cfg.embedding != "none" and any(
         n % 2 ** cfg.refinements for n in fine_ncells
@@ -130,3 +132,44 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
 
     solver = DarcySolver(hier, cfg, dtype, kinv_ref=kinv_ref)
     return Problem(cfg, hier, embed_hier, sampler, solver, dtype)
+
+
+def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
+    """Build from an MFEM mesh file (cfg.mesh = path): the file provides the
+    COARSEST mesh, refined cfg.refinements times (the reference's driver
+    semantics, examples/MLMC.cpp:162-198). Structured-detectable meshes use
+    the tensor fast paths; simplicial meshes use the unstructured stack
+    (SPDE sampler only; embedding is a tensor-grid feature for now)."""
+    from parelagmc_tpu.mesh.mfem_io import read_mfem_mesh
+    from parelagmc_tpu.mesh.structured import StructuredMesh
+
+    mesh = read_mfem_mesh(cfg.mesh)
+    if isinstance(mesh, StructuredMesh):
+        from parelagmc_tpu.fem import build_geometric_hierarchy
+
+        hier = build_geometric_hierarchy(mesh, cfg.nlevels)
+        if cfg.sampler_name != "pde" or cfg.embedding != "none":
+            raise ValueError(
+                "mesh-file configs currently support the plain SPDE sampler"
+            )
+        sampler = SPDESampler(hier, cfg, dtype)
+        solver = DarcySolver(hier, cfg, dtype)
+        return Problem(cfg, hier, None, sampler, solver, dtype)
+
+    from parelagmc_tpu.fem.simplicial_hierarchy import build_simplicial_hierarchy
+    from parelagmc_tpu.unstructured import (
+        UnstructuredDarcySolver,
+        UnstructuredSPDESampler,
+        label_box_boundaries_gm,
+    )
+
+    if np.unique(mesh.boundary_attributes).size <= 1:
+        # Single-attribute meshes (cube_tet.mesh): relabel box sides so the
+        # MFEM attribute convention applies to BCs/QoIs.
+        label_box_boundaries_gm(mesh)
+    hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
+    if cfg.sampler_name != "pde":
+        raise ValueError("unstructured meshes currently support the SPDE sampler")
+    sampler = UnstructuredSPDESampler(hier, cfg, dtype)
+    solver = UnstructuredDarcySolver(hier, cfg, dtype)
+    return Problem(cfg, hier, None, sampler, solver, dtype)

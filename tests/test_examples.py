@@ -123,3 +123,20 @@ def test_sampler_test_driver(capsys):
     )
     out = capsys.readouterr().out
     assert "SPDE-projection" in out
+
+
+def test_mlmc_driver_on_mesh_files(capsys, tmp_path, monkeypatch):
+    # Reference mesh files drive the same MLMC example: structured
+    # (cube_hex.mesh) and unstructured (cube_tet.mesh).
+    monkeypatch.chdir(tmp_path)
+    from examples import mlmc
+
+    for mesh in ("/root/reference/meshes/cube_hex.mesh",
+                 "/root/reference/meshes/cube_tet.mesh"):
+        est = mlmc.main(
+            ["--mesh", mesh, "--refinements", "1", "--batch", "8",
+             "--samples", "8", "--mse", "1e10", "--variance", "0.25"]
+        )
+        out = capsys.readouterr().out
+        assert "FINAL MLMC ERRORS" in out
+        assert np.isfinite(est)
