@@ -44,6 +44,20 @@ class GeneralMesh:
     def num_cells(self) -> int:
         return len(self.elements)
 
+    def cell_centers(self) -> np.ndarray:
+        conn = np.stack(self.elements)
+        return self.vertices[conn].mean(axis=1)
+
+    def cell_volumes(self) -> np.ndarray:
+        import math
+
+        conn = np.stack(self.elements)
+        p = self.vertices[conn]
+        if p.shape[1] != self.dim + 1:
+            raise NotImplementedError("volumes implemented for simplices only")
+        mats = p[:, 1:, :] - p[:, :1, :]
+        return np.abs(np.linalg.det(mats)) / math.factorial(self.dim)
+
 
 def _tokens(text: str):
     for line in text.splitlines():

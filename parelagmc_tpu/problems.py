@@ -168,8 +168,17 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
         # MFEM attribute convention applies to BCs/QoIs.
         label_box_boundaries_gm(mesh)
     hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
-    if cfg.sampler_name != "pde":
-        raise ValueError("unstructured meshes currently support the SPDE sampler")
-    sampler = UnstructuredSPDESampler(hier, cfg, dtype)
+    if cfg.sampler_name == "pde":
+        sampler = UnstructuredSPDESampler(hier, cfg, dtype)
+    elif cfg.sampler_name == "matern":
+        # Matern KLE is mesh-agnostic (dense kernel at cell centers).
+        cov = MaternCovariance(
+            hier.levels[0].mesh, cfg.correlation_length, cfg.number_of_modes
+        )
+        sampler = KLSampler(hier, cov, cfg, dtype)
+    else:
+        raise ValueError(
+            "unstructured meshes support the 'pde' and 'matern' samplers"
+        )
     solver = UnstructuredDarcySolver(hier, cfg, dtype)
     return Problem(cfg, hier, None, sampler, solver, dtype)

@@ -103,3 +103,30 @@ def test_mlmc_on_cube_tet(tmp_path):
     # Coupled coarse fields have the native coarse law: Var[Y] decays.
     assert mgr.varY[0] < mgr.varQ[0]
     mgr.close()
+
+
+def test_matern_kle_on_unstructured(tmp_path):
+    # Matern-KLE sampler on the tetrahedral cube via the generic KLSampler
+    # (dense kernel at simplex centroids, cochain-projected coarse modes).
+    import jax
+    import jax.numpy as jnp
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh=f"{MESHES}/cube_tet.mesh", sampler_name="matern", refinements=2,
+        number_of_modes=20, correlation_length=0.5, lognormal=False,
+        dtype="float64",
+    )
+    prob = build_problem(cfg)
+    xi = prob.sampler.sample(0, jax.random.PRNGKey(0), 4)
+    s_f = np.asarray(prob.sampler.eval(0, xi))
+    s_c = np.asarray(prob.sampler.eval(2, xi))
+    assert s_f.shape == (4, 384) and s_c.shape == (4, 6)
+    # Coarse realization = volume-weighted average (cochain projection).
+    W0 = prob.hierarchy.levels[0].W
+    comp = prob.hierarchy.parent[1][prob.hierarchy.parent[0]]
+    avg = np.zeros_like(s_c)
+    np.add.at(avg.T, comp, (W0 * s_f).T)
+    avg /= prob.hierarchy.levels[2].W
+    np.testing.assert_allclose(s_c, avg, atol=1e-12)
