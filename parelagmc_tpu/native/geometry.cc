@@ -135,7 +135,49 @@ int element_planes_2d(const double* verts, const int64_t* conn, int nv,
 // Convex polytope intersection volume by vertex enumeration.
 // ---------------------------------------------------------------------------
 
-double intersect_volume_3d(const Plane3* planes, int np, double tol) {
+int dedup_planes_3d(const Plane3* in, int np, Plane3* out, double tol) {
+  // Drop same-orientation duplicate planes (conforming meshes share face
+  // planes; counting one twice double-counts its face in the volume sum).
+  int m = 0;
+  for (int i = 0; i < np; ++i) {
+    bool dup = false;
+    for (int j = 0; j < m; ++j) {
+      if (std::fabs(in[i].n[0] - out[j].n[0]) < 1e-10 &&
+          std::fabs(in[i].n[1] - out[j].n[1]) < 1e-10 &&
+          std::fabs(in[i].n[2] - out[j].n[2]) < 1e-10 &&
+          std::fabs(in[i].d - out[j].d) < 10 * tol) {
+        // Keep the tighter constraint.
+        if (in[i].d < out[j].d) out[j].d = in[i].d;
+        dup = true;
+        break;
+      }
+    }
+    if (!dup) out[m++] = in[i];
+  }
+  return m;
+}
+
+int dedup_planes_2d(const Plane2* in, int np, Plane2* out, double tol) {
+  int m = 0;
+  for (int i = 0; i < np; ++i) {
+    bool dup = false;
+    for (int j = 0; j < m; ++j) {
+      if (std::fabs(in[i].n[0] - out[j].n[0]) < 1e-10 &&
+          std::fabs(in[i].n[1] - out[j].n[1]) < 1e-10 &&
+          std::fabs(in[i].d - out[j].d) < 10 * tol) {
+        if (in[i].d < out[j].d) out[j].d = in[i].d;
+        dup = true;
+        break;
+      }
+    }
+    if (!dup) out[m++] = in[i];
+  }
+  return m;
+}
+
+double intersect_volume_3d(const Plane3* planes_in, int np_in, double tol) {
+  Plane3 planes[2 * kMaxPlanes];
+  int np = dedup_planes_3d(planes_in, np_in, planes, tol);
   // Enumerate vertices: all plane triples.
   double vx[512], vy[512], vz[512];
   int nvert = 0;
@@ -231,7 +273,9 @@ double intersect_volume_3d(const Plane3* planes, int np, double tol) {
   return vol;
 }
 
-double intersect_area_2d(const Plane2* planes, int np, double tol) {
+double intersect_area_2d(const Plane2* planes_in, int np_in, double tol) {
+  Plane2 planes[2 * kMaxPlanes];
+  int np = dedup_planes_2d(planes_in, np_in, planes, tol);
   double vx[128], vy[128];
   int nvert = 0;
   for (int a = 0; a < np && nvert < 128; ++a)

@@ -185,6 +185,12 @@ class UnstructuredSPDESampler(MLSampler):
         )
 
     def eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
+        s = self._eval_gaussian(level, xi, xi_level)
+        return jnp.exp(s) if self.lognormal else s
+
+    def _eval_gaussian(
+        self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None
+    ):
         if xi_level is None:
             xi_level = level
         assert xi_level <= level
@@ -206,11 +212,65 @@ class UnstructuredSPDESampler(MLSampler):
             restart_every=self.solver_cfg.restart_every,
         )
         Bu = _b_gather(L["cell_faces"], L["cell_signs"], u)
-        s = (1.0 / self.alpha) * (L["winv"] * (Bu + b))
-        return jnp.exp(s) if self.lognormal else s
+        return (1.0 / self.alpha) * (L["winv"] * (Bu + b))
 
     def nnz(self, level: int = 0) -> int:
         return int(np.sum(np.asarray(self._lv[level]["A"].vals) != 0))
+
+
+class UnstructuredProjectionSPDESampler(UnstructuredSPDESampler):
+    """Non-matching-mesh embedded SPDE sampler on unstructured simplicial
+    meshes (the reference's flagship L2ProjectionPDESampler,
+    src/L2ProjectionPDESampler.cpp, on its actual tet/tri meshes like
+    cube_tet.mesh vs cube_tet_enlarge.mesh): the field is solved on an
+    independently meshed enlarged domain and projected to the original mesh
+    by the P0 mortar coupling s = W_orig^{-1} G s_embed, with G assembled
+    per level by the native C++ intersection kernels
+    (parelagmc_tpu/native/geometry.cc) - exact convex-cell clipping with a
+    hash-grid broad phase, at setup time only."""
+
+    def __init__(
+        self,
+        orig_hierarchy: Union[SimplicialHierarchy, SimplicialLevel],
+        embed_hierarchy: Union[SimplicialHierarchy, SimplicialLevel],
+        config: ProblemConfig,
+        dtype=jnp.float32,
+    ):
+        super().__init__(embed_hierarchy, config, dtype)
+        from parelagmc_tpu.native import mortar_p0_couple
+
+        self.orig_hierarchy = _as_hierarchy(orig_hierarchy)
+        assert self.orig_hierarchy.nlevels == self.hierarchy.nlevels
+        self.G = []
+        self.winv_orig = []
+        for l in range(self.orig_hierarchy.nlevels):
+            om = self.orig_hierarchy.levels[l]
+            em = self.hierarchy.levels[l]
+            G = mortar_p0_couple(om.mesh, em.mesh)
+            covered = np.asarray(G.sum(axis=1)).ravel()
+            if not np.allclose(covered, om.W, rtol=1e-8):
+                raise ValueError("No intersection, no transfer! (level %d)" % l)
+            self.G.append(pack_csr_to_ell(G, dtype))
+            self.winv_orig.append(jnp.asarray(1.0 / om.W, dtype=dtype))
+
+    def field_size(self, level: int) -> int:
+        return self.orig_hierarchy.levels[level].n_s
+
+    def project(self, level: int, s_embed: jnp.ndarray) -> jnp.ndarray:
+        return self.winv_orig[level] * ell_apply(self.G[level], s_embed)
+
+    transfer = project  # reference: L2ProjectionPDESampler::Transfer
+
+    def eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
+        # Project the Gaussian field, then exponentiate (the reference
+        # applies exp after the projection, L2ProjectionPDESampler.cpp
+        # :595-611).
+        s = self.project(level, self._eval_gaussian(level, xi, xi_level))
+        return jnp.exp(s) if self.lognormal else s
+
+    def embed_eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
+        s = self._eval_gaussian(level, xi, xi_level)
+        return jnp.exp(s) if self.lognormal else s
 
 
 class UnstructuredDarcySolver:

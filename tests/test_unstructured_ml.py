@@ -130,3 +130,75 @@ def test_matern_kle_on_unstructured(tmp_path):
     np.add.at(avg.T, comp, (W0 * s_f).T)
     avg /= prob.hierarchy.levels[2].W
     np.testing.assert_allclose(s_c, avg, atol=1e-12)
+
+
+def test_projection_sampler_nonmatching_tets(tmp_path):
+    # Non-matching mortar projection on the reference's actual tet meshes:
+    # cube_tet.mesh embedded in cube_tet_enlarge.mesh ([-0.5,1.5]^3, an
+    # independent 48-tet mesh). The coupling G comes from the native C++
+    # intersection kernels per level.
+    import jax
+    import jax.numpy as jnp
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.unstructured import (
+        UnstructuredProjectionSPDESampler,
+        UnstructuredSPDESampler,
+    )
+
+    orig = read_mfem_mesh(f"{MESHES}/cube_tet.mesh")
+    emb = read_mfem_mesh(f"{MESHES}/cube_tet_enlarge.mesh")
+    oh = build_simplicial_hierarchy(orig, 2)
+    eh = build_simplicial_hierarchy(emb, 2)
+    cfg = ProblemConfig(correlation_length=0.4, lognormal=True, variance=0.25,
+                        refinements=1, dtype="float64")
+    import jax.numpy as jnp
+
+    proj = UnstructuredProjectionSPDESampler(oh, eh, cfg, jnp.float64)
+    for level in range(2):
+        xi = proj.sample(level, jax.random.PRNGKey(level), 4)
+        s = np.asarray(proj.eval(level, xi))
+        assert s.shape == (4, oh.levels[level].n_s)
+        assert np.isfinite(s).all() and (s > 0).all()
+        se = np.asarray(proj.embed_eval(level, xi))
+        assert se.shape == (4, eh.levels[level].n_s)
+    # Projection of a constant embedded field is exact (partition of unity).
+    ones = jnp.ones((1, eh.levels[0].n_s), dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(proj.project(0, ones)), 1.0, rtol=1e-10)
+    # MLMC coupling path: fine-level noise restricted to the coarse solve.
+    xi_f = proj.sample(0, jax.random.PRNGKey(9), 3)
+    s_c = np.asarray(proj.eval(1, xi_f, xi_level=0))
+    assert s_c.shape == (3, oh.levels[1].n_s)
+
+
+def test_projection_sampler_nonmatching_triangles():
+    # 2D: square.mesh (328 triangles) vs square_enlarge.mesh (648 triangles,
+    # [-0.5, 1.5]^2) - genuinely non-matching unstructured meshes.
+    import jax
+    import jax.numpy as jnp
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.unstructured import UnstructuredProjectionSPDESampler
+
+    orig = read_mfem_mesh(f"{MESHES}/square.mesh")
+    emb = read_mfem_mesh(f"{MESHES}/square_enlarge.mesh")
+    oh = build_simplicial_hierarchy(orig, 1)
+    eh = build_simplicial_hierarchy(emb, 1)
+    cfg = ProblemConfig(correlation_length=0.3, lognormal=False, refinements=0,
+                        dtype="float64")
+    from parelagmc_tpu.unstructured import UnstructuredSPDESampler
+
+    proj = UnstructuredProjectionSPDESampler(oh, eh, cfg, jnp.float64)
+    plain = UnstructuredSPDESampler(oh, cfg, jnp.float64)
+    n = 600
+    s_p = np.asarray(proj.eval(0, proj.sample(0, jax.random.PRNGKey(0), n)))
+    s_0 = np.asarray(plain.eval(0, plain.sample(0, jax.random.PRNGKey(1), n)))
+    var_p = (s_p ** 2).mean(axis=0)
+    var_0 = (s_0 ** 2).mean(axis=0)
+    # The embedding's point: reflecting-BC variance inflation at the
+    # original boundary is reduced (the domain is only ~3 correlation
+    # lengths wide, so even interior variance sits above the continuum 1 -
+    # the reference's own sampler goldens show the same nonzero errors).
+    centers = orig.cell_centers()
+    near_bdr = np.any((centers < 0.1) | (centers > 0.9), axis=1)
+    assert var_p[near_bdr].mean() < 0.6 * var_0[near_bdr].mean()
+    interior = np.all((centers > 0.25) & (centers < 0.75), axis=1)
+    assert 1.0 < var_p[interior].mean() < var_0[interior].mean()
