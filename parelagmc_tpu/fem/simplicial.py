@@ -72,6 +72,10 @@ class SimplicialLevel:
     bdr_attr: np.ndarray  # (n_u,) boundary attribute, 0 = interior
     outward_sign: np.ndarray  # (n_u,) +-1 on boundary faces, 0 interior
 
+    @property
+    def dim(self) -> int:
+        return self.mesh.dim
+
     def mass_csr(self, coeff: Optional[np.ndarray] = None) -> sp.csr_matrix:
         c = np.ones(self.n_s) if coeff is None else np.asarray(coeff, np.float64)
         rows = np.repeat(np.arange(self.n_u), self.m_cols.shape[1])

@@ -202,3 +202,37 @@ def test_projection_sampler_nonmatching_triangles():
     assert var_p[near_bdr].mean() < 0.6 * var_0[near_bdr].mean()
     interior = np.all((centers > 0.25) & (centers < 0.75), axis=1)
     assert 1.0 < var_p[interior].mean() < var_0[interior].mean()
+
+
+def test_bayes_ratio_on_unstructured(tmp_path):
+    # The Bayesian layer composes with the unstructured stack unchanged.
+    import jax.numpy as jnp
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.unstructured import (
+        UnstructuredDarcySolver,
+        UnstructuredSPDESampler,
+        label_box_boundaries_gm,
+    )
+    from parelagmc_tpu.uq import BayesianInverseProblem, BayesRatioManager
+    from parelagmc_tpu.utils.timing import TimeManager
+
+    TimeManager.reset()
+    gm = read_mfem_mesh(f"{MESHES}/cube_tet.mesh")
+    label_box_boundaries_gm(gm)
+    hier = build_simplicial_hierarchy(gm, 2)
+    cfg = ProblemConfig(
+        refinements=1, mse=1e10, batch_size=8, initial_samples=8,
+        correlation_length=0.4, variance=0.25,
+        bayes_ref_data_file=str(tmp_path / "tet_obs.dat"),
+        output_filename=str(tmp_path / "tet_ratio.dat"),
+    )
+    sampler = UnstructuredSPDESampler(hier, cfg, jnp.float64)
+    solver = UnstructuredDarcySolver(hier, cfg, jnp.float64)
+    bip = BayesianInverseProblem(solver, sampler, cfg, jnp.float64)
+    y = bip.generate_observational_data()
+    assert np.isfinite(y).all()
+    mgr = BayesRatioManager(bip, cfg, splitting=False)
+    mgr.init_run([8, 8])
+    assert np.isfinite(mgr.estimate)
+    assert 0.0 < mgr.E[0, 4] <= 1.0  # E[Z] = mean likelihood in (0, 1]
+    mgr.close()
