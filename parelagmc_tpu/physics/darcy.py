@@ -72,6 +72,7 @@ class DarcyLevel(NamedTuple):
     kinv_logmean: float  # log geometric mean of the static kinv_ref (0 if none)
     mass_solver: MassTridiagSolver  # exact M(w)^{-1} (tensor-grid tridiagonals)
     schur_mg: object  # Optional[MGHierarchy]: kinv-aware Schur preconditioner
+    sbar_dinv: object  # Optional[(n_s,)]: 1/diag(S_bar) (cg-schur-diag variant)
 
 
 def _assemble_sbar(mesh, kinv, ess_attr):
@@ -271,6 +272,22 @@ class DarcySolver:
                             config.sampler_solver.coarse_dense_cutoff,
                         )
                         if kinv_levels[l] is not None
+                        and config.darcy_solver.name != "cg-schur-diag"
+                        else None
+                    ),
+                    sbar_dinv=(
+                        jnp.asarray(
+                            1.0
+                            / np.maximum(
+                                _assemble_sbar(
+                                    lvl.mesh, kinv_levels[l], ess_attr
+                                ).diagonal(),
+                                1e-300,
+                            ),
+                            dtype=dtype,
+                        )
+                        if kinv_levels[l] is not None
+                        and config.darcy_solver.name == "cg-schur-diag"
                         else None
                     ),
                 )
@@ -397,7 +414,12 @@ class DarcySolver:
         g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
         Minv = lambda r: L.mass_solver(w, r)
         rhs_s = self._apply_B(L, Minv(f)) - g
-        if L.schur_mg is not None:
+        if L.sbar_dinv is not None:
+            # Diagonal of the static variable-coefficient Schur complement:
+            # weaker than MG but a far smaller program ("cg-schur-diag").
+            w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+            prec = lambda r: w_bar * (r * L.sbar_dinv)
+        elif L.schur_mg is not None:
             # kinv-aware geometric MG on S_bar; the per-sample lognormal
             # multiplier contributes only its geometric-mean scale.
             from parelagmc_tpu.ops.multigrid import v_cycle
