@@ -102,6 +102,7 @@ class SolverConfig:
     relative_tolerance: float = 1e-6
     absolute_tolerance: float = 1e-12
     restart_every: int = 50  # true-residual CG restart cadence (f32 rescue)
+    mg_coarse_sweeps: int = 0  # 0: dense coarsest inverse; >0: Jacobi sweeps
     # Multigrid options.
     smoother_iterations: int = 2
     chebyshev_order: int = 3

@@ -37,8 +37,10 @@ class MGHierarchy(NamedTuple):
     # levels[l] holds operator of level l plus transfer to level l+1
     levels: Tuple[MGLevel, ...]
     coarse_A: ELL
-    coarse_inv: jnp.ndarray  # (nc, nc) dense inverse
+    coarse_inv: jnp.ndarray  # (nc, nc) dense inverse ((0,0) if unused)
     omega: float
+    coarse_inv_diag: jnp.ndarray  # (nc,) Jacobi fallback for the coarsest
+    coarse_sweeps: int  # 0 => dense solve; else Jacobi sweeps at coarsest
 
 
 def build_mg_hierarchy(
@@ -46,6 +48,7 @@ def build_mg_hierarchy(
     prolongators,  # list of scipy sparse, P[l]: level l+1 -> level l
     dtype=jnp.float32,
     omega: float = 0.7,
+    coarse_sweeps: int = 0,  # 0: dense coarsest inverse; >0: Jacobi sweeps
 ) -> MGHierarchy:
     levels = []
     for l in range(len(mats) - 1):
@@ -62,12 +65,19 @@ def build_mg_hierarchy(
             )
         )
     Ac = mats[-1].tocsr()
-    coarse_inv = np.linalg.inv(Ac.toarray())
+    if coarse_sweeps > 0:
+        coarse_inv = np.zeros((0, 0))
+    else:
+        coarse_inv = np.linalg.inv(Ac.toarray())
+    dc = np.asarray(Ac.diagonal())
+    dc = np.where(dc == 0.0, 1.0, dc)
     return MGHierarchy(
         levels=tuple(levels),
         coarse_A=pack_csr_to_ell(Ac, dtype),
         coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
         omega=omega,
+        coarse_inv_diag=jnp.asarray(1.0 / dc, dtype=dtype),
+        coarse_sweeps=int(coarse_sweeps),
     )
 
 
@@ -83,6 +93,13 @@ def v_cycle(
 ) -> jnp.ndarray:
     """One V(sweeps, sweeps) cycle applied to b (zero initial guess)."""
     if level == len(mg.levels):
+        if mg.coarse_sweeps > 0:
+            # Jacobi sweeps at the coarsest (dense matmuls inside lax loop
+            # bodies have crashed the TPU worker at scale; see CLAUDE.md).
+            x = mg.omega * mg.coarse_inv_diag * b
+            for _ in range(mg.coarse_sweeps - 1):
+                x = x + mg.omega * mg.coarse_inv_diag * (b - ell_apply(mg.coarse_A, x))
+            return x
         # Coarsest: dense solve via batched matmul.
         return b @ mg.coarse_inv.T
     lvl = mg.levels[level]

@@ -99,7 +99,7 @@ def _assemble_sbar(mesh, kinv, ess_attr):
     return (B @ sp.diags(dinv) @ B.T).tocsr()
 
 
-def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int):
+def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int, coarse_sweeps: int = 0):
     """Geometric multigrid hierarchy on S_bar: derefine below the MLMC level
     as far as needed, rediscretizing the coefficient by volume-weighted
     averaging, until the coarsest grid is dense-invertible. The TPU-native
@@ -139,7 +139,7 @@ def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int):
                 shape=(meshes[l].num_cells, meshes[l + 1].num_cells),
             )
         )
-    return build_mg_hierarchy(mats, ps, dtype)
+    return build_mg_hierarchy(mats, ps, dtype, coarse_sweeps=coarse_sweeps)
 
 
 class DarcySolver:
@@ -270,6 +270,7 @@ class DarcySolver:
                         _build_schur_mg(
                             lvl.mesh, kinv_levels[l], ess_attr, dtype,
                             config.sampler_solver.coarse_dense_cutoff,
+                            coarse_sweeps=config.darcy_solver.mg_coarse_sweeps,
                         )
                         if kinv_levels[l] is not None
                         and config.darcy_solver.name != "cg-schur-diag"
