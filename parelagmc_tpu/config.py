@@ -102,7 +102,9 @@ class SolverConfig:
     relative_tolerance: float = 1e-6
     absolute_tolerance: float = 1e-12
     restart_every: int = 50  # true-residual CG restart cadence (f32 rescue)
-    mg_coarse_sweeps: int = 0  # 0: dense coarsest inverse; >0: Jacobi sweeps
+    mg_coarse_sweeps: int = 8  # 0: dense coarsest inverse; >0: Jacobi sweeps
+    # (dense matmuls inside lax loop bodies crash the TPU worker at SPE10
+    #  scale; Jacobi sweeps match the dense quality within a few iterations)
     # Multigrid options.
     smoother_iterations: int = 2
     chebyshev_order: int = 3
