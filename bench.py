@@ -112,7 +112,7 @@ def _scipy_baseline(hier, solver, nmeas: int = 3) -> float:
         b = np.asarray(solver.levels[level].rhs, dtype=np.float64)
         static.append((lvl, keep, ident, B, b))
     times = []
-    for _ in range(nmeas):
+    for _ in range(max(nmeas, 5)):
         t0 = time.perf_counter()
         for lvl, keep, ident, B, b in static:
             w = np.exp(rng.normal(size=lvl.n_s))
@@ -120,7 +120,9 @@ def _scipy_baseline(hier, solver, nmeas: int = 3) -> float:
             A = sp.bmat([[M, B.T], [B, None]], format="csc")
             spla.splu(A).solve(b)
         times.append(time.perf_counter() - t0)
-    per_sample = float(np.median(times))
+    # Minimum is robust against concurrent host load (don't flatter the TPU
+    # with an overloaded CPU baseline).
+    per_sample = float(np.min(times))
     print(f"# cpu single-core: {per_sample:.4f} s/sample", file=sys.stderr)
     return 1.0 / per_sample
 
