@@ -176,9 +176,14 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
             hier.levels[0].mesh, cfg.correlation_length, cfg.number_of_modes
         )
         sampler = KLSampler(hier, cov, cfg, dtype)
-    else:
-        raise ValueError(
-            "unstructured meshes support the 'pde' and 'matern' samplers"
+    elif cfg.sampler_name == "analytic":
+        d = mesh.dim
+        nmodes = max(2, round(cfg.number_of_modes ** (1.0 / d)))
+        cov = AnalyticExponentialCovariance(
+            hier.levels[0].mesh, cfg.correlation_length, [nmodes] * d
         )
+        sampler = KLSampler(hier, cov, cfg, dtype)
+    else:
+        raise ValueError(f"unknown sampler '{cfg.sampler_name}'")
     solver = UnstructuredDarcySolver(hier, cfg, dtype)
     return Problem(cfg, hier, None, sampler, solver, dtype)

@@ -105,6 +105,20 @@ def _solve_omegas(nmodes: int, scaled_corlen: float) -> np.ndarray:
     return np.asarray(roots)
 
 
+def _domain_axes(mesh):
+    """(origins, lengths) per axis: grid lines for StructuredMesh, the
+    bounding box for unstructured box-domain meshes (the separable
+    exponential covariance is defined on a box either way)."""
+    if hasattr(mesh, "axes"):
+        return (
+            [float(a[0]) for a in mesh.axes],
+            [float(a[-1] - a[0]) for a in mesh.axes],
+        )
+    lo = mesh.vertices.min(axis=0)
+    hi = mesh.vertices.max(axis=0)
+    return list(map(float, lo)), list(map(float, hi - lo))
+
+
 class AnalyticExponentialCovariance(CovarianceFunction):
     def __init__(
         self,
@@ -131,14 +145,15 @@ class AnalyticExponentialCovariance(CovarianceFunction):
         d = mesh.dim
         W = mesh.cell_volumes()
         centers = mesh.cell_centers()
+        origins, lengths = _domain_axes(mesh)
         evals_1d: List[np.ndarray] = []
         evecs_1d: List[np.ndarray] = []  # (n_cells, nmodes_a) values
         for a in range(d):
-            length = float(mesh.axes[a][-1] - mesh.axes[a][0])
+            length = lengths[a]
             L = self.corlens[a] / length
             omegas = _solve_omegas(self.nmodes_per_dim[a], L)
             theta = 2.0 * length * L / (L * L * omegas ** 2 + 1.0)
-            x = (centers[:, a] - mesh.axes[a][0])[:, None] * omegas[None, :] / length
+            x = (centers[:, a] - origins[a])[:, None] * omegas[None, :] / length
             b = (np.sin(x) + L * omegas[None, :] * np.cos(x)) / length
             # Discrete unit W-norm per mode.
             b /= np.sqrt((W[:, None] * b * b).sum(axis=0))[None, :]

@@ -236,3 +236,23 @@ def test_bayes_ratio_on_unstructured(tmp_path):
     assert np.isfinite(mgr.estimate)
     assert 0.0 < mgr.E[0, 4] <= 1.0  # E[Z] = mean likelihood in (0, 1]
     mgr.close()
+
+
+def test_analytic_kle_on_unstructured():
+    # Separable exponential KLE on the tet cube: eigenfunctions at simplex
+    # centroids, bounding-box domain, discrete W-orthonormality.
+    import jax
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh=f"{MESHES}/cube_tet.mesh", sampler_name="analytic", refinements=2,
+        number_of_modes=8, correlation_length=0.7, lognormal=False,
+        dtype="float64",
+    )
+    prob = build_problem(cfg)
+    cov = prob.sampler.covariance
+    assert cov.check_orthogonality() < 0.1  # crude simplicial quadrature
+    s = prob.sampler.eval(0, prob.sampler.sample(0, jax.random.PRNGKey(0), 4))
+    assert np.asarray(s).shape == (4, 384)
+    assert np.isfinite(np.asarray(s)).all()
