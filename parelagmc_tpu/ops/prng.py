@@ -6,9 +6,10 @@ would dominate the whole MLMC pipeline (the tensor-solve realization costs
 ~6 ms). This kernel uses the TPU's hardware PRNG (pltpu.prng_seed /
 prng_random_bits) and a Box-Muller transform: ~pure VPU work.
 
-Determinism: the stream is fully determined by the int32 seed derived from
-a jax.random key (samplers fold (level, batch counter) into the key exactly
-as before), so runs remain reproducible chip-count-independently - the
+Determinism: the stream is fully determined by the 64-bit jax.random key
+(both words enter prng_seed's multi-word mixer together with the grid block
+id; samplers fold (level, batch counter) into the key exactly as before),
+so runs remain reproducible chip-count-independently - the
 replacement for the reference's TRNG leapfrog streams
 (src/NormalDistributionSampler.cpp:21-24) at full speed.
 
@@ -48,8 +49,18 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
     rows = nblocks * block  # VMEM-bounded row blocks over a 1D grid
 
     def kernel(seed_ref, out_ref):
-        # Independent hardware-PRNG stream per grid block.
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # Independent hardware-PRNG stream per grid block: both 32-bit key
+        # words enter the (two-word max on this libtpu) seed mixer, with the
+        # block id hashed into each word by odd multiplicative constants
+        # (Weyl/Murmur-style). Distinct jax.random keys therefore can never
+        # alias block streams the way round 1's single int32 seed + additive
+        # block offset could (ADVICE.md: adjacent derived seeds overlapping
+        # block ranges); a collision now needs a full 64-bit match.
+        pid = pl.program_id(0)
+        pltpu.prng_seed(
+            seed_ref[0] ^ (pid * jnp.int32(-1640531527)),  # 0x9E3779B9
+            seed_ref[1] + pid * jnp.int32(-2048144789),  # 0x85EBCA6B
+        )
         # prng_random_bits may come back as int32; force uint32 before the
         # logical shift so sign bits don't leak into the exponent.
         bits1 = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
@@ -79,8 +90,11 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
 
 
 def _seed_from_key(key) -> jnp.ndarray:
+    """Both 32-bit words of the threefry key, for multi-word prng_seed."""
     data = jax.random.key_data(key).reshape(-1)
-    return (data[-1] ^ data[0]).astype(jnp.int32).reshape(1)
+    if data.shape[0] == 1:  # rbg/other impls may differ; duplicate the word
+        data = jnp.concatenate([data, data])
+    return data[:2].astype(jnp.int32)
 
 
 def sample_normals(key, shape: Tuple[int, ...], dtype=jnp.float32) -> jnp.ndarray:
@@ -104,7 +118,12 @@ def _pallas_uniform(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.nda
     rows = nblocks * block
 
     def kernel(seed_ref, out_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        # Full-key two-word seeding with hashed block id (see _pallas_normal).
+        pid = pl.program_id(0)
+        pltpu.prng_seed(
+            seed_ref[0] ^ (pid * jnp.int32(-1640531527)),
+            seed_ref[1] + pid * jnp.int32(-2048144789),
+        )
         bits = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
         out_ref[:] = (
             pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0

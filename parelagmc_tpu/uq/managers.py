@@ -108,7 +108,8 @@ class MLMCManager:
         self.cost = np.zeros(self.nlevels)
         # Observability: mean Krylov iterations per level step (solver health;
         # the reference prints per-solve iteration counts when verbose).
-        self.solver_iterations = np.zeros(self.nlevels)
+        # Running sum over all batches; show_me reports sum / nsamples.
+        self._iter_sums = np.zeros(self.nlevels)
 
         self._key = jax.random.PRNGKey(config.seed)
         self._counter = 0
@@ -189,7 +190,7 @@ class MLMCManager:
                 key = self._next_key(level)
                 with TimeManager.timed(timer_name):
                     q, qc, iters = jax.block_until_ready(step(key))
-                self.solver_iterations[level] = float(np.mean(np.asarray(iters)))
+                self._iter_sums[level] += float(np.sum(np.asarray(iters)))
                 q = np.asarray(q, dtype=np.float64)
                 qc = np.asarray(qc, dtype=np.float64)
                 y = q - qc
@@ -222,6 +223,7 @@ class MLMCManager:
         self.sums[:] = 0.0
         self.level_nsamples[:] = 0
         self.level_nsamples_missing[:] = 0
+        self._iter_sums[:] = 0.0
         self.init_run(self.init_nsamples)
         grain = [0] * self.nlevels
         while self.ml_estimator_variance > self.ratio * self.eps2:
@@ -240,6 +242,12 @@ class MLMCManager:
     @property
     def estimate(self) -> float:
         return float(self.eY.sum())
+
+    @property
+    def solver_iterations(self) -> np.ndarray:
+        """Mean Krylov iterations per sample per level, averaged over all
+        batches (weighted by batch size)."""
+        return self._iter_sums / np.maximum(self.level_nsamples, 1)
 
     # -- estimator mathematics -----------------------------------------------
     def compute_nsamples_mse(self) -> None:
@@ -276,6 +284,11 @@ class MLMCManager:
         self.beta = exp_weighted_regression(self.varY, self.M, 1)
 
         # Rate-extrapolated squared bias (reference MLMC_Manager.cpp:337-355).
+        # The reference formulas are written for its NEGATIVE regression slope;
+        # exp_weighted_regression returns the positive decay rate a (so that
+        # |Y| ~ C * M^(-a)), hence the exponents here carry the opposite sign
+        # of the reference's (m^(-a) there == m^(+a) here). Equivalent math,
+        # verified by tests/test_misc.py::test_bias_extrapolation_hand_value.
         L = self.nlevels
         if L == 1:
             self.expected_discretization_error2 = 0.0
@@ -284,11 +297,11 @@ class MLMCManager:
             aABS = self.alphaABS
             if L > 3:
                 self.expected_discretization_error2 = max(
-                    m ** (2.0 * aABS) * self.eABSY[1] ** 2, self.eABSY[0] ** 2
-                ) / ((m ** (-2.0 * aABS) - 1.0) ** 2)
+                    m ** (-2.0 * aABS) * self.eABSY[1] ** 2, self.eABSY[0] ** 2
+                ) / ((m ** (2.0 * aABS) - 1.0) ** 2)
             elif L == 3:
                 self.expected_discretization_error2 = self.eABSY[0] ** 2 / (
-                    (m ** (-aABS) - 1.0) ** 2
+                    (m ** aABS - 1.0) ** 2
                 )
             else:
                 self.expected_discretization_error2 = self.eABSY[0] ** 2
@@ -423,8 +436,17 @@ class MCManager(MLMCManager):
     target MSE (reference: src/MC_Manager.cpp). Implemented as the 1-level
     special case of the MLMC machinery (Y == Q, zero bias estimate)."""
 
-    def __init__(self, solver, sampler, config: ProblemConfig, batch_size=None):
-        super().__init__(solver, sampler, config, nlevels=1, batch_size=batch_size)
+    def __init__(
+        self, solver, sampler, config: ProblemConfig, batch_size=None, sharding=None
+    ):
+        super().__init__(
+            solver,
+            sampler,
+            config,
+            nlevels=1,
+            batch_size=batch_size,
+            sharding=sharding,
+        )
 
     def show_me(self) -> str:
         return super().show_me().replace("MLMC Manager", "SLMC Manager")

@@ -50,12 +50,16 @@ class BayesRatioManager:
         nlevels: Optional[int] = None,
         splitting: bool = False,
         batch_size: Optional[int] = None,
+        sharding=None,  # Optional[parallel.SampleMesh]: shard batches over 'dp'
     ):
         self.problem = problem
         self.config = config
         self.splitting = bool(splitting)
+        self.sharding = sharding
         self.nlevels = int(nlevels if nlevels is not None else problem.nlevels)
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
+        if sharding is not None:
+            self.batch = sharding.round_batch(self.batch)
         self.eps2 = float(config.mse)
         self.auto_eps2 = self.eps2 < 0
         if self.auto_eps2:
@@ -100,6 +104,8 @@ class BayesRatioManager:
         prob = self.problem
         prior = prob.prior
         batch = self.batch
+        if self.sharding is not None:
+            batch = batch // self.sharding.n_devices
         coarsest = level == self.nlevels - 1
 
         if coarsest:
@@ -128,6 +134,9 @@ class BayesRatioManager:
                     level + 1, prior.eval(level + 1, xi, xi_level=level)
                 )
                 return r, rc, z, zc
+
+        if self.sharding is not None:
+            step = self.sharding.shard_step(step)
 
         from parelagmc_tpu.ops.jit_utils import jit_hoisted
 
@@ -246,16 +255,20 @@ class BayesRatioManager:
         self.gamma = exp_weighted_regression(self.cost, self.M, 0)
 
         def bias2(eabs, aabs):
+            # Positive-rate convention (exp_weighted_regression returns the
+            # positive decay rate); exponent signs flipped vs the reference's
+            # negative-slope formulas (ML_BayesRatio_Manager.hpp / MLMC math,
+            # see uq/managers.py compute_nsamples_mse).
             L = self.nlevels
             if L == 1:
                 return 0.0
             m = self.M[0] / self.M[1]
             if L > 3:
-                return max(m ** (2 * aabs) * eabs[1] ** 2, eabs[0] ** 2) / (
-                    (m ** (-2 * aabs) - 1.0) ** 2
+                return max(m ** (-2 * aabs) * eabs[1] ** 2, eabs[0] ** 2) / (
+                    (m ** (2 * aabs) - 1.0) ** 2
                 )
             if L == 3:
-                return eabs[0] ** 2 / ((m ** (-aabs) - 1.0) ** 2)
+                return eabs[0] ** 2 / ((m ** aabs - 1.0) ** 2)
             return eabs[0] ** 2
 
         self.expected_discretization_error2 = max(
@@ -335,7 +348,12 @@ class BayesRatioManager:
 class SLBayesRatioManager(BayesRatioManager):
     """Single-level ratio estimator (reference SL_BayesRatio_Manager.hpp)."""
 
-    def __init__(self, problem, config, splitting=False, batch_size=None):
+    def __init__(self, problem, config, splitting=False, batch_size=None, sharding=None):
         super().__init__(
-            problem, config, nlevels=1, splitting=splitting, batch_size=batch_size
+            problem,
+            config,
+            nlevels=1,
+            splitting=splitting,
+            batch_size=batch_size,
+            sharding=sharding,
         )

@@ -1,13 +1,18 @@
 """Weighted log-log rate regression used by the MC/MLMC managers.
 
-Estimates the exponent `a` in y ~ C * x^(-a) from per-level data, weighting
-the residuals like the reference's expWRegression
-(/root/reference/src/Utilities.cpp:257-283): a weighted least-squares fit of
-log|y| against log(x) with weights proportional to sqrt(x) (finer levels,
-which have more dofs, count more), optionally skipping the last (coarsest)
-points.
+Mirrors the reference's expWRegression
+(/root/reference/src/Utilities.cpp:257-283) exactly: a no-intercept
+weighted fit of the pairwise log-ratios log|y_i/y_{i+1}| against
+log(x_i/x_{i+1}) with geometric weights 0.5^i (finer-level pairs count
+more), using the first n = len(y) - 1 - skip_n_last pairs.
 
-Returns the *decay rate* a (positive when y decreases as x grows).
+One deliberate deviation from the reference, documented per CLAUDE.md: the
+reference returns the raw slope, which is NEGATIVE for convergent MLMC
+(|y| shrinks as the dof count x grows); this function returns the NEGATED
+slope, i.e. the positive decay rate `a` in y ~ C * x^(-a), so that the
+reported alpha/beta/gamma read as positive rates. The managers' bias
+formulas are written for this positive-rate convention (see
+uq/managers.py compute_nsamples_mse).
 """
 
 from __future__ import annotations
@@ -20,18 +25,14 @@ def exp_weighted_regression(
 ) -> float:
     y = np.asarray(y, dtype=np.float64)
     x = np.asarray(x, dtype=np.float64)
-    n = y.shape[0] - skip_n_last
-    if n < 2:
+    n = y.shape[0] - 1 - skip_n_last
+    if n < 1:
         return 0.0
-    ly = np.log(np.abs(y[:n]) + 1e-300)
-    lx = np.log(x[:n])
-    w = np.sqrt(x[:n])
-    # Weighted least squares for ly = b0 + b1 * lx.
-    sw = w.sum()
-    mx = (w * lx).sum() / sw
-    my = (w * ly).sum() / sw
-    vx = (w * (lx - mx) ** 2).sum()
-    if vx <= 0.0:
+    logdy = np.log(np.abs(y[:n] / np.where(y[1 : n + 1] == 0, 1e-300, y[1 : n + 1])) + 1e-300)
+    logdx = np.log(x[:n] / x[1 : n + 1])
+    w = 0.5 ** np.arange(n)
+    denom = float((w * logdx * logdx).sum())
+    if denom <= 0.0:
         return 0.0
-    b1 = (w * (lx - mx) * (ly - my)).sum() / vx
-    return float(-b1)
+    slope = float((w * logdy * logdx).sum()) / denom
+    return -slope

@@ -84,3 +84,66 @@ def test_glvis_plot_no_server():
     mesh = make_box_mesh((2, 2), lengths=(1.0, 1.0))
     # No GLVis server in this environment: must return False, not raise.
     assert glvis_plot(mesh, np.zeros(4), port=59999) is False
+
+
+def test_exp_weighted_regression_reference_pairwise():
+    # Exact-rate data: y = 7 * x^(-1.5) -> the pairwise-ratio fit recovers
+    # a = 1.5 in the positive-rate convention regardless of weights.
+    from parelagmc_tpu.utils.regression import exp_weighted_regression
+
+    x = np.array([4096.0, 512.0, 64.0, 8.0])
+    y = 7.0 * x ** (-1.5)
+    np.testing.assert_allclose(exp_weighted_regression(y, x, 0), 1.5, rtol=1e-12)
+    np.testing.assert_allclose(exp_weighted_regression(y, x, 1), 1.5, rtol=1e-12)
+    # Mixed-rate data: hand-evaluate the reference's weighted no-intercept fit
+    # (Utilities.cpp:257-283: slope = sum(w_i ldy_i ldx_i)/sum(w_i ldx_i^2),
+    # w_i = 0.5^i over pairs (i, i+1), first n = len-1-skip pairs), negated.
+    y2 = np.array([0.01, 0.09, 0.4, 1.4])
+    n = 3
+    ldy = np.log(np.abs(y2[:n] / y2[1 : n + 1]))
+    ldx = np.log(x[:n] / x[1 : n + 1])
+    w = 0.5 ** np.arange(n)
+    hand = -(w * ldy * ldx).sum() / (w * ldx * ldx).sum()
+    np.testing.assert_allclose(exp_weighted_regression(y2, x, 0), hand, rtol=1e-12)
+
+
+def test_bias_extrapolation_hand_value():
+    # Pin the rate-extrapolated squared bias against a hand-computed value
+    # (positive-rate convention; ADVICE.md round 1 found the old exponents
+    # inflated the bias by m^(2 alpha)). For L=3 with perfectly geometric
+    # E[|Y_l|] = c * M_l^a: bias2 = eABSY[0]^2 / (m^a - 1)^2, the tail sum
+    # (|Y_{-1}| + |Y_{-2}| + ...)^2 of the extrapolated finer-level errors.
+    from parelagmc_tpu.uq.managers import MLMCManager, NVAR
+
+    class _FakeSolver:
+        def num_dofs(self, l):
+            return [4096.0, 512.0, 64.0][l]
+
+        def nnz(self, l):
+            return 0
+
+    from parelagmc_tpu.config import ProblemConfig
+
+    cfg = ProblemConfig(refinements=2, mse=1.0, output_filename="")
+    mgr = MLMCManager(_FakeSolver(), sampler=None, config=cfg, nlevels=3)
+    alpha = 2.0 / 3.0  # |Y| ~ M^(-2/3): factor 4 per level at m = 8
+    n = 100
+    absY = np.array([0.05, 0.05 * 8.0 ** alpha, 0.05 * 64.0 ** alpha])
+    mgr.sums[:] = 0.0
+    mgr.level_nsamples[:] = n
+    mgr.sums[:, 0] = absY * n  # Y
+    mgr.sums[:, 4] = absY * n  # ABSY
+    mgr.sums[:, 1] = (absY ** 2) * n * 1.01  # Y2 (tiny variance)
+    mgr.sums[:, 5] = 2.5 * n  # Q
+    mgr.sums[:, 6] = 2.5 ** 2 * n * 1.01  # Q2
+    mgr.sums[:, 8] = 100.0 * n  # C
+    mgr.compute_nsamples_mse()
+    m = 4096.0 / 512.0
+    np.testing.assert_allclose(mgr.alphaABS, alpha, rtol=1e-10)
+    hand = absY[0] ** 2 / (m ** alpha - 1.0) ** 2
+    np.testing.assert_allclose(
+        mgr.expected_discretization_error2, hand, rtol=1e-10
+    )
+    # Sanity: the extrapolated bias must be (much) smaller than the coarsest
+    # increment for a convergent hierarchy - the round-1 bug made it larger.
+    assert mgr.expected_discretization_error2 < absY[0] ** 2
