@@ -14,6 +14,10 @@ import dataclasses
 from parelagmc_tpu.config import ProblemConfig, read_xml_parameterlist
 
 
+def _attr_vec(s):
+    return tuple(int(x) for x in s.split(",")) if s else None
+
+
 def parse_config(argv=None, **defaults) -> ProblemConfig:
     p = argparse.ArgumentParser()
     p.add_argument("-f", "--xml-file", default=None,
@@ -24,6 +28,11 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
     p.add_argument("--embedding", default=None,
                    choices=["none", "matching", "projection"])
     p.add_argument("--refinements", type=int, default=None)
+    p.add_argument("--agglomerate", action="store_true",
+                   help="treat the mesh file as the FINEST mesh and build "
+                        "coarse levels by algebraic agglomeration "
+                        "(reference: 'Unstructured coarsening')")
+    p.add_argument("--coarsening-factor", type=int, default=None)
     p.add_argument("--corlen", type=float, default=None)
     p.add_argument("--variance", type=float, default=None)
     p.add_argument("--mse", type=float, default=None)
@@ -31,6 +40,11 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--qoi", default=None,
                    choices=["eff_perm", "p_int", "local_avg_p"])
+    p.add_argument("--ess-attr", default=None,
+                   help="comma-separated 0/1 per boundary attribute "
+                        "(reference 'Essential attributes')")
+    p.add_argument("--obs-attr", default=None)
+    p.add_argument("--inflow-attr", default=None)
     p.add_argument("--dtype", default=None,
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--seed", type=int, default=None)
@@ -58,10 +72,16 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         "qoi": args.qoi,
         "dtype": args.dtype,
         "seed": args.seed,
+        "coarsening_factor": args.coarsening_factor,
+        "ess_attr": _attr_vec(args.ess_attr),
+        "obs_attr": _attr_vec(args.obs_attr),
+        "inflow_attr": _attr_vec(args.inflow_attr),
     }
     override = {k: v for k, v in override.items() if v is not None}
     if args.refinements is not None:
         override["nlevels"] = None
+    if args.agglomerate:
+        override["unstructured_coarsening"] = True
     if args.no_lognormal:
         override["lognormal"] = False
     if args.verbose:

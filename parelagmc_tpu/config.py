@@ -127,6 +127,13 @@ class ProblemConfig:
     lengths: Tuple[float, ...] = (2.0, 2.0, 2.0)
     refinements: int = 2  # levels = refinements + 1 (geometric coarsening)
     nlevels: Optional[int] = None
+    # Algebraic (METIS-analog) agglomeration of a *given* fine mesh into
+    # coarse MLMC levels (reference: "Unstructured coarsening" +
+    # "Coarsening factor", examples/MLMC.cpp:96-97, Utilities.cpp:125-155).
+    # With unstructured_coarsening, a mesh-file config treats the file as the
+    # FINEST mesh and agglomerates it nlevels-1 times.
+    unstructured_coarsening: bool = False
+    coarsening_factor: int = 8
 
     # Uncertainty model.
     sampler_name: str = "pde"  # "pde" | "analytic" | "matern"
@@ -206,6 +213,10 @@ class ProblemConfig:
                 prob.get("Serial refinement levels", 0)
             )
             kw["nlevels"] = None
+        if "Unstructured coarsening" in prob:
+            kw["unstructured_coarsening"] = prob["Unstructured coarsening"]
+        if "Coarsening factor" in prob:
+            kw["coarsening_factor"] = prob["Coarsening factor"]
         if "Mean square error" in prob:
             kw["mse"] = prob["Mean square error"]
         if "MSE splitting ratio" in prob:

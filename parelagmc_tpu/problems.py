@@ -167,7 +167,17 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
         # Single-attribute meshes (cube_tet.mesh): relabel box sides so the
         # MFEM attribute convention applies to BCs/QoIs.
         label_box_boundaries_gm(mesh)
-    hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
+    if cfg.unstructured_coarsening:
+        # Reference semantics ("Unstructured coarsening" = METIS,
+        # examples/MLMC.cpp:96-97): the file is the FINEST mesh and coarse
+        # levels come from algebraic agglomeration.
+        from parelagmc_tpu.fem.agglomeration import build_agglomerated_hierarchy
+
+        hier = build_agglomerated_hierarchy(
+            mesh, cfg.nlevels, coarsening_factor=cfg.coarsening_factor
+        )
+    else:
+        hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
     if cfg.sampler_name == "pde":
         sampler = UnstructuredSPDESampler(hier, cfg, dtype)
     elif cfg.sampler_name == "matern":

@@ -39,25 +39,38 @@ from parelagmc_tpu.samplers.base import MLSampler
 from parelagmc_tpu.utils.special import matern_spde_scaling
 
 
-def label_box_boundaries_gm(gm: GeneralMesh, tol: float = 1e-8) -> None:
+def label_box_boundaries_gm(gm: GeneralMesh, tol: float = 1e-8) -> bool:
     """Relabel a GeneralMesh's boundary attributes with the MFEM box-side
     convention (by face-centroid position on the bounding box; 3D: z=0 -> 1,
     y=0 -> 2, x=max -> 3, y=max -> 4, x=0 -> 5, z=max -> 6; 2D: 1..4), so
     box-domain tet/tri meshes (cube_tet.mesh, inline_tri) take the same
     BC/QoI configs as the structured path. Apply to the base mesh BEFORE
-    building a hierarchy; refinement preserves attributes."""
+    building a hierarchy; refinement preserves attributes.
+
+    Curved domains (circle.mesh, cylinder.mesh, ...) are detected - some
+    boundary face does not lie on the bounding box - and left untouched
+    (returns False): their native attributes drive BCs/QoIs, like the
+    reference's attribute-vector parameters."""
     from parelagmc_tpu.mesh.structured import _mfem_bdr_attr
 
     d = gm.dim
     lo = gm.vertices.min(axis=0)
     hi = gm.vertices.max(axis=0)
+    new_attr = np.array(gm.boundary_attributes, copy=True)
     for k, bf in enumerate(gm.boundary):
         c = gm.vertices[bf].mean(axis=0)
+        on_box = False
         for a in range(d):
             if abs(c[a] - lo[a]) < tol:
-                gm.boundary_attributes[k] = _mfem_bdr_attr(d, a, 0)
+                new_attr[k] = _mfem_bdr_attr(d, a, 0)
+                on_box = True
             elif abs(c[a] - hi[a]) < tol:
-                gm.boundary_attributes[k] = _mfem_bdr_attr(d, a, 1)
+                new_attr[k] = _mfem_bdr_attr(d, a, 1)
+                on_box = True
+        if not on_box:
+            return False  # curved domain: keep native attributes
+    gm.boundary_attributes[:] = new_attr
+    return True
 
 
 def label_box_boundaries(level: SimplicialLevel, tol: float = 1e-8) -> None:
