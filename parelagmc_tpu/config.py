@@ -102,6 +102,9 @@ class SolverConfig:
     relative_tolerance: float = 1e-6
     absolute_tolerance: float = 1e-12
     restart_every: int = 50  # true-residual CG restart cadence (f32 rescue)
+    # cg-schur: scale the exact S(1)^{-1} locally by sqrt(w) per cell
+    # instead of the global geometric mean (stronger on rough fields).
+    local_schur_scaling: bool = False
     mg_coarse_sweeps: int = 8  # 0: dense coarsest inverse; >0: Jacobi sweeps
     # (dense matmuls inside lax loop bodies crash the TPU worker at SPE10
     #  scale; Jacobi sweeps match the dense quality within a few iterations)
@@ -145,6 +148,10 @@ class ProblemConfig:
     # Embedding.
     embedding: str = "none"  # "none" | "matching" | "projection"
     n_buffer: Tuple[int, ...] = (1,)
+    # Mesh-file configs: path of the enlarged mesh. Defaults to the
+    # reference's naming next to cfg.mesh: <stem>_embed.mesh (matching,
+    # materialId selection) / <stem>_enlarge.mesh (projection, mortar).
+    embed_mesh: str = ""
 
     # Boundary conditions / QoI (MFEM attribute convention).
     qoi: str = "eff_perm"  # "eff_perm" | "p_int" | "local_avg_p"

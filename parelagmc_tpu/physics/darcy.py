@@ -294,6 +294,11 @@ class DarcySolver:
                 )
             )
         self.solver_cfg = config.darcy_solver
+        # Parent cell maps for warm-started pair solves (coarse -> fine
+        # piecewise-constant pressure prolongation).
+        self._parent_dev = [
+            jnp.asarray(p, dtype=jnp.int32) for p in hierarchy.parent
+        ]
 
     @staticmethod
     def _outward_sign(lvl) -> np.ndarray:
@@ -409,7 +414,33 @@ class DarcySolver:
             return self._solve_minres(L, w, return_pressure)
         return self._solve_cg_schur(L, w, return_pressure)
 
-    def _solve_cg_schur(self, L: DarcyLevel, w: jnp.ndarray, return_pressure: bool):
+    def solve_fwd_pair(self, level: int, w_f: jnp.ndarray, w_c: jnp.ndarray):
+        """Coupled (fine, coarse) pair solve for one MLMC correction sample:
+        solve level+1 first, then warm-start the level solve from the
+        prolongated coarse pressure - the reference's coarse-then-fine
+        Eval with initial guess (src/MLMC_Manager.cpp:150-156,
+        src/PDESampler.cpp:451-516: SetInitialIterate of the prolongated
+        solution). Returns (q_fine, q_coarse, info_fine, info_coarse)."""
+        qc, _, info_c, p_c = self.solve_fwd(level + 1, w_c, return_pressure=True)
+        # P0 prolongation: fine cell takes its parent's physical pressure
+        # (exact piecewise-constant embedding); _solve_cg_schur converts to
+        # its internal p~ = -p convention.
+        p0 = jnp.take(p_c, self._parent_dev[level], axis=-1)
+        if self.solver_cfg.name == "minres-bj":
+            q, _, info_f = self.solve_fwd(level, w_f)
+            return q, qc, info_f, info_c
+        q, _, info_f = self._solve_cg_schur(
+            self.levels[level], w_f, return_pressure=False, x0=p0
+        )
+        return q, qc, info_f, info_c
+
+    def _solve_cg_schur(
+        self,
+        L: DarcyLevel,
+        w: jnp.ndarray,
+        return_pressure: bool,
+        x0: Optional[jnp.ndarray] = None,
+    ):
         batch = w.shape[:-1]
         f = jnp.broadcast_to(L.rhs[: L.n_u], batch + (L.n_u,))
         g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
@@ -427,6 +458,14 @@ class DarcySolver:
 
             w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
             prec = lambda r: w_bar * v_cycle(L.schur_mg, r)
+        elif self.solver_cfg.local_schur_scaling:
+            # Symmetric LOCAL scaling of the exact reference Schur inverse:
+            # S(w)^{-1} ~ diag(w)^{1/2} S(1)^{-1} diag(w)^{1/2} (exact for
+            # constant w, first-order in the local log-field otherwise) -
+            # captures the per-cell amplitude the global geometric mean
+            # misses, at the cost of two elementwise multiplies.
+            sw = jnp.sqrt(w) * jnp.exp(0.5 * L.kinv_logmean)
+            prec = lambda r: sw * tensor_solve(L.schur, sw * r)
         else:
             w_bar = jnp.exp(
                 jnp.mean(jnp.log(w), axis=-1, keepdims=True) + L.kinv_logmean
@@ -437,6 +476,7 @@ class DarcySolver:
             apply_S,
             rhs_s,
             prec=prec,
+            x0=(-x0 if x0 is not None else None),  # p~ = -p convention
             max_iters=self.solver_cfg.max_iterations,
             rtol=self.solver_cfg.relative_tolerance,
             atol=self.solver_cfg.absolute_tolerance,

@@ -159,7 +159,10 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
     from parelagmc_tpu.fem.simplicial_hierarchy import build_simplicial_hierarchy
     from parelagmc_tpu.unstructured import (
         UnstructuredDarcySolver,
+        UnstructuredEmbeddedSPDESampler,
+        UnstructuredProjectionSPDESampler,
         UnstructuredSPDESampler,
+        build_embedded_simplicial_hierarchies,
         label_box_boundaries_gm,
     )
 
@@ -167,7 +170,41 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
         # Single-attribute meshes (cube_tet.mesh): relabel box sides so the
         # MFEM attribute convention applies to BCs/QoIs.
         label_box_boundaries_gm(mesh)
-    if cfg.unstructured_coarsening:
+    embed_hier = None
+    selection = None
+    if cfg.embedding != "none" and cfg.sampler_name != "pde":
+        raise ValueError("embedding requires the SPDE sampler")
+    if cfg.embedding != "none":
+        import os
+
+        embed_path = cfg.embed_mesh
+        if not embed_path:
+            stem = cfg.mesh[: -len(".mesh")]
+            suffix = "_embed.mesh" if cfg.embedding == "matching" else "_enlarge.mesh"
+            embed_path = stem + suffix
+        if not os.path.exists(embed_path):
+            raise ValueError(
+                f"embedding='{cfg.embedding}' needs an enlarged mesh at "
+                f"'{embed_path}' (or set embed_mesh)"
+            )
+        embed_gm = read_mfem_mesh(embed_path)
+        if cfg.embedding == "matching":
+            hier, embed_hier, selection = build_embedded_simplicial_hierarchies(
+                mesh,
+                embed_gm,
+                cfg.nlevels,
+                unstructured_coarsening=cfg.unstructured_coarsening,
+                coarsening_factor=cfg.coarsening_factor,
+            )
+        else:
+            if cfg.unstructured_coarsening:
+                raise ValueError(
+                    "projection embedding with agglomeration is not wired yet; "
+                    "use matching embedding or refinement hierarchies"
+                )
+            hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
+            embed_hier = build_simplicial_hierarchy(embed_gm, cfg.nlevels)
+    elif cfg.unstructured_coarsening:
         # Reference semantics ("Unstructured coarsening" = METIS,
         # examples/MLMC.cpp:96-97): the file is the FINEST mesh and coarse
         # levels come from algebraic agglomeration.
@@ -179,7 +216,14 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
     else:
         hier = build_simplicial_hierarchy(mesh, cfg.nlevels)
     if cfg.sampler_name == "pde":
-        sampler = UnstructuredSPDESampler(hier, cfg, dtype)
+        if cfg.embedding == "matching":
+            sampler = UnstructuredEmbeddedSPDESampler(
+                hier, embed_hier, selection, cfg, dtype
+            )
+        elif cfg.embedding == "projection":
+            sampler = UnstructuredProjectionSPDESampler(hier, embed_hier, cfg, dtype)
+        else:
+            sampler = UnstructuredSPDESampler(hier, cfg, dtype)
     elif cfg.sampler_name == "matern":
         # Matern KLE is mesh-agnostic (dense kernel at cell centers).
         cov = MaternCovariance(
@@ -196,4 +240,4 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
     else:
         raise ValueError(f"unknown sampler '{cfg.sampler_name}'")
     solver = UnstructuredDarcySolver(hier, cfg, dtype)
-    return Problem(cfg, hier, None, sampler, solver, dtype)
+    return Problem(cfg, hier, embed_hier, sampler, solver, dtype)

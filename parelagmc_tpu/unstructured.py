@@ -150,6 +150,8 @@ class UnstructuredSPDESampler(MLSampler):
         self.solver_cfg = config.sampler_solver
 
         self._lv = []
+        A_csr: List[sp.csr_matrix] = []
+        ess_list: List[np.ndarray] = []
         for lvl in self.hierarchy.levels:
             ess = lvl.bdr_attr > 0
             M = lvl.mass_csr()
@@ -161,6 +163,8 @@ class UnstructuredSPDESampler(MLSampler):
             A[:, idx] = 0.0
             A[idx, idx] = 1.0
             A = A.tocsr()
+            A_csr.append(A)
+            ess_list.append(ess)
             fs = lvl.face_signs.copy()
             fs[ess, :] = 0.0
             self._lv.append(
@@ -177,10 +181,35 @@ class UnstructuredSPDESampler(MLSampler):
                     face_signs=jnp.asarray(fs, dtype=dtype),
                 )
             )
+        # Geometric-MG preconditioner over the hierarchy's own exact RT
+        # prolongators (reference analog: CG + hypre ADS on the reduced
+        # H(div) system, src/PDESampler_Legacy.cpp:169-235). The V-cycle for
+        # level l runs over levels l..L with essential rows/cols masked out
+        # of the interlevel transfers.
+        self._mg = [None] * self.hierarchy.nlevels
+        if self.solver_cfg.name == "cg-mg" and self.hierarchy.nlevels > 1:
+            from parelagmc_tpu.ops.multigrid import build_mg_hierarchy
+
+            P_masked = []
+            for l, P in enumerate(self.hierarchy.P_rt):
+                Zf = sp.diags((~ess_list[l]).astype(np.float64))
+                Zc = sp.diags((~ess_list[l + 1]).astype(np.float64))
+                P_masked.append((Zf @ P @ Zc).tocsr())
+            for l in range(self.hierarchy.nlevels - 1):
+                self._mg[l] = build_mg_hierarchy(
+                    A_csr[l:], P_masked[l:], dtype,
+                    coarse_sweeps=self.solver_cfg.mg_coarse_sweeps,
+                )
         # P_l2^T restrictions as ELLs (coarse rows <- fine entries).
         self._restrict = [
             pack_csr_to_ell(self.hierarchy.p_l2(l).T.tocsr(), dtype)
             for l in range(self.hierarchy.nlevels - 1)
+        ]
+        # RT prolongations (fine faces <- coarse faces) for warm-started
+        # coupled pair evaluations (reference: PDESampler.cpp:451-516 seeds
+        # the fine solve with the prolongated coarse solution).
+        self._prolong_rt = [
+            pack_csr_to_ell(P.tocsr(), dtype) for P in self.hierarchy.P_rt
         ]
 
     # -- MLSampler API -----------------------------------------------------------
@@ -201,34 +230,233 @@ class UnstructuredSPDESampler(MLSampler):
         s = self._eval_gaussian(level, xi, xi_level)
         return jnp.exp(s) if self.lognormal else s
 
+    def _noise_load(self, level: int, xi: jnp.ndarray, xi_level: int):
+        """White-noise load b = g W^{1/2} xi at xi_level, restricted to level."""
+        b = self.g * self._lv[xi_level]["w_sqrt"] * xi
+        for l in range(xi_level, level):
+            b = ell_apply(self._restrict[l], b)
+        return b
+
+    def _solve_u(self, level: int, b: jnp.ndarray, x0=None):
+        L = self._lv[level]
+        rhs_u = -(1.0 / self.alpha) * _bt_gather(
+            L["face_cells"], L["face_signs"], L["winv"] * b
+        )
+        if self._mg[level] is not None:
+            from parelagmc_tpu.ops.multigrid import v_cycle
+
+            mg = self._mg[level]
+            prec = lambda r: v_cycle(mg, r)
+        else:
+            prec = lambda r: r * L["dinv"]
+        u, info = pcg(
+            lambda v: ell_apply(L["A"], v),
+            rhs_u,
+            prec=prec,
+            x0=x0,
+            max_iters=self.solver_cfg.max_iterations,
+            rtol=self.solver_cfg.relative_tolerance,
+            atol=self.solver_cfg.absolute_tolerance,
+            restart_every=self.solver_cfg.restart_every,
+        )
+        return u
+
+    def _field_from(self, level: int, u: jnp.ndarray, b: jnp.ndarray):
+        L = self._lv[level]
+        Bu = _b_gather(L["cell_faces"], L["cell_signs"], u)
+        return (1.0 / self.alpha) * (L["winv"] * (Bu + b))
+
     def _eval_gaussian(
         self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None
     ):
         if xi_level is None:
             xi_level = level
         assert xi_level <= level
-        # White-noise load b = g W^{1/2} xi at xi_level, restricted to level.
-        b = self.g * self._lv[xi_level]["w_sqrt"] * xi
-        for l in range(xi_level, level):
-            b = ell_apply(self._restrict[l], b)
-        L = self._lv[level]
-        rhs_u = -(1.0 / self.alpha) * _bt_gather(
-            L["face_cells"], L["face_signs"], L["winv"] * b
+        b = self._noise_load(level, xi, xi_level)
+        u = self._solve_u(level, b)
+        return self._field_from(level, u, b)
+
+    def _eval_gaussian_pair(self, level: int, xi: jnp.ndarray):
+        """Coupled (fine, coarse) Gaussian fields with shared noise: the
+        coarse system is solved first and its velocity prolongated as the
+        fine solve's initial iterate (reference PDESampler.cpp:451-516) -
+        a free reduction in fine PCG iterations."""
+        b_f = self._noise_load(level, xi, level)
+        b_c = ell_apply(self._restrict[level], b_f)
+        u_c = self._solve_u(level + 1, b_c)
+        u0 = ell_apply(self._prolong_rt[level], u_c)
+        ess = self._lv[level]["face_signs"][:, 0] == 0.0  # eliminated rows
+        u0 = jnp.where(ess, 0.0, u0)
+        u_f = self._solve_u(level, b_f, x0=u0)
+        return (
+            self._field_from(level, u_f, b_f),
+            self._field_from(level + 1, u_c, b_c),
         )
-        u, info = pcg(
-            lambda v: ell_apply(L["A"], v),
-            rhs_u,
-            prec=lambda r: r * L["dinv"],
-            max_iters=self.solver_cfg.max_iterations,
-            rtol=self.solver_cfg.relative_tolerance,
-            atol=self.solver_cfg.absolute_tolerance,
-            restart_every=self.solver_cfg.restart_every,
-        )
-        Bu = _b_gather(L["cell_faces"], L["cell_signs"], u)
-        return (1.0 / self.alpha) * (L["winv"] * (Bu + b))
+
+    def eval_pair(self, level: int, xi: jnp.ndarray):
+        s_f, s_c = self._eval_gaussian_pair(level, xi)
+        if self.lognormal:
+            return jnp.exp(s_f), jnp.exp(s_c)
+        return s_f, s_c
 
     def nnz(self, level: int = 0) -> int:
         return int(np.sum(np.asarray(self._lv[level]["A"].vals) != 0))
+
+
+class UnstructuredEmbeddedSPDESampler(UnstructuredSPDESampler):
+    """Matching-mesh embedded SPDE sampler on unstructured meshes: the SPDE
+    is solved on the enlarged mesh and the field restricted to the original
+    domain by the per-level materialId 0/1 selection - the reference's
+    EmbeddedPDESampler (src/EmbeddedPDESampler.cpp:58-89: embedded cells
+    with attribute 1 correspond 1:1, in element order, to the original
+    mesh). Removes the boundary variance inflation of the plain sampler
+    without any mortar geometry.
+
+    `selection[l]` maps original-mesh cell -> embedded-mesh cell at level l
+    (built by build_embedded_simplicial_hierarchies)."""
+
+    def __init__(
+        self,
+        orig_hierarchy: Union[SimplicialHierarchy, SimplicialLevel],
+        embed_hierarchy: Union[SimplicialHierarchy, SimplicialLevel],
+        selection: List[np.ndarray],
+        config: ProblemConfig,
+        dtype=jnp.float32,
+    ):
+        super().__init__(embed_hierarchy, config, dtype)
+        self.orig_hierarchy = _as_hierarchy(orig_hierarchy)
+        assert self.orig_hierarchy.nlevels == self.hierarchy.nlevels == len(selection)
+        self.selection = [jnp.asarray(s, dtype=jnp.int32) for s in selection]
+
+    def field_size(self, level: int) -> int:
+        return self.orig_hierarchy.levels[level].n_s
+
+    def eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
+        s = jnp.take(
+            self._eval_gaussian(level, xi, xi_level), self.selection[level], axis=-1
+        )
+        return jnp.exp(s) if self.lognormal else s
+
+    def embed_eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
+        s = self._eval_gaussian(level, xi, xi_level)
+        return jnp.exp(s) if self.lognormal else s
+
+    def eval_pair(self, level: int, xi: jnp.ndarray):
+        s_f, s_c = self._eval_gaussian_pair(level, xi)
+        s_f = jnp.take(s_f, self.selection[level], axis=-1)
+        s_c = jnp.take(s_c, self.selection[level + 1], axis=-1)
+        if self.lognormal:
+            return jnp.exp(s_f), jnp.exp(s_c)
+        return s_f, s_c
+
+
+def match_embedded_cells(orig: GeneralMesh, embed: GeneralMesh, tol=1e-10) -> np.ndarray:
+    """Original cell -> embedded cell map via materialId 1 (the reference's
+    in-element-order correspondence, src/MeshUtilities.cpp:186-266),
+    verified geometrically by centroid agreement."""
+    sel = np.nonzero(embed.attributes == 1)[0]
+    if sel.size != len(orig.elements):
+        raise ValueError(
+            f"embedded mesh has {sel.size} material-1 cells, original has "
+            f"{len(orig.elements)}: not a matching embedding"
+        )
+    oc = orig.vertices[np.stack(orig.elements)].mean(axis=1)
+    ec = embed.vertices[np.stack(embed.elements)].mean(axis=1)
+    err = float(np.abs(ec[sel] - oc).max())
+    if err > tol:
+        raise ValueError(
+            f"material-1 cells do not match the original mesh in element "
+            f"order (max centroid error {err:.2e})"
+        )
+    return sel
+
+
+def build_embedded_simplicial_hierarchies(
+    orig_gm: GeneralMesh,
+    embed_gm: GeneralMesh,
+    nlevels: int,
+    unstructured_coarsening: bool = False,
+    coarsening_factor: int = 8,
+):
+    """Aligned (orig, embed) hierarchies + per-level selection maps.
+
+    * Refinement mode: both meshes refine in lockstep; children enumerate
+      parent-major, so the fine selection is sel_f[o*nc + k] = sel_c[o]*nc + k.
+    * Agglomeration mode (the reference's EmbeddedBuildTopology with
+      material-interface-preserving LogicalPartitioner,
+      src/Utilities.cpp:42-123): partition the embedded fine mesh with
+      material-crossing edges removed, so every agglomerate is purely
+      inside or outside; the original hierarchy inherits the induced
+      partition of its twin cells and the coarse selection maps original
+      agglomerate -> embedded agglomerate.
+    """
+    from parelagmc_tpu.fem.agglomeration import (
+        _cell_adjacency,
+        _level_cell_centers,
+        agglomerate_level,
+        partition_cells,
+    )
+    from parelagmc_tpu.fem.simplicial import build_simplicial_level
+    from parelagmc_tpu.fem.simplicial_hierarchy import build_simplicial_hierarchy
+
+    sel0 = match_embedded_cells(orig_gm, embed_gm)
+
+    if not unstructured_coarsening:
+        orig_h = build_simplicial_hierarchy(orig_gm, nlevels)
+        embed_h = build_simplicial_hierarchy(embed_gm, nlevels)
+        d = orig_gm.dim
+        nc = 4 if d == 2 else 8
+        selection = [sel0]
+        for _ in range(nlevels - 1):
+            prev = selection[-1]
+            selection.append(
+                (prev[:, None] * nc + np.arange(nc)[None, :]).reshape(-1)
+            )
+        selection = selection[::-1]  # finest first (level 0)
+        return orig_h, embed_h, selection
+
+    # --- agglomeration mode ---------------------------------------------------
+    orig_levels = [build_simplicial_level(orig_gm)]
+    embed_levels = [build_simplicial_level(embed_gm)]
+    orig_P, embed_P = [], []
+    orig_parents, embed_parents = [], []
+    selection = [sel0]
+    material = np.asarray(embed_gm.attributes) == 1
+    for _ in range(nlevels - 1):
+        el = embed_levels[-1]
+        adj = _cell_adjacency(el).tocoo()
+        keep = material[adj.row] == material[adj.col]
+        adj_cut = sp.csr_matrix(
+            (adj.data[keep], (adj.row[keep], adj.col[keep])), shape=adj.shape
+        )
+        e_labels = partition_cells(adj_cut, _level_cell_centers(el), coarsening_factor)
+        # Sanity: agglomerates never straddle the material interface.
+        assert (
+            np.intersect1d(
+                np.unique(e_labels[material]), np.unique(e_labels[~material])
+            ).size
+            == 0
+        ), "agglomerate straddles the material interface"
+        e_coarse, e_P = agglomerate_level(el, e_labels)
+        # Induced original partition via the twin cells.
+        sel = selection[-1]
+        o_labels_raw = e_labels[sel]
+        uniq, o_labels = np.unique(o_labels_raw, return_inverse=True)
+        o_coarse, o_P = agglomerate_level(orig_levels[-1], o_labels)
+        embed_levels.append(e_coarse)
+        orig_levels.append(o_coarse)
+        embed_P.append(e_P)
+        orig_P.append(o_P)
+        embed_parents.append(e_labels)
+        orig_parents.append(o_labels)
+        selection.append(uniq)  # original agg i -> embedded agg uniq[i]
+        material = np.zeros(e_coarse.n_s, dtype=bool)
+        material[uniq] = True
+    orig_h = SimplicialHierarchy(levels=orig_levels, parent=orig_parents, P_rt=orig_P)
+    embed_h = SimplicialHierarchy(
+        levels=embed_levels, parent=embed_parents, P_rt=embed_P
+    )
+    return orig_h, embed_h, selection
 
 
 class UnstructuredProjectionSPDESampler(UnstructuredSPDESampler):
@@ -284,6 +512,14 @@ class UnstructuredProjectionSPDESampler(UnstructuredSPDESampler):
     def embed_eval(self, level: int, xi: jnp.ndarray, xi_level: Optional[int] = None):
         s = self._eval_gaussian(level, xi, xi_level)
         return jnp.exp(s) if self.lognormal else s
+
+    def eval_pair(self, level: int, xi: jnp.ndarray):
+        s_f, s_c = self._eval_gaussian_pair(level, xi)
+        s_f = self.project(level, s_f)
+        s_c = self.project(level + 1, s_c)
+        if self.lognormal:
+            return jnp.exp(s_f), jnp.exp(s_c)
+        return s_f, s_c
 
 
 class UnstructuredDarcySolver:
@@ -349,6 +585,7 @@ class UnstructuredDarcySolver:
                 vecs.append(np.concatenate([vu, vp]))
 
         self._lv = []
+        sbar_csr: List[sp.csr_matrix] = []
         for l, lvl in enumerate(levels):
             ess = lvl.ess_faces(ess_attr)
             m_vals = lvl.m_vals.copy()
@@ -358,6 +595,22 @@ class UnstructuredDarcySolver:
             fs[ess, :] = 0.0
             r = rhs_np[l].copy()
             r[: lvl.n_u][ess] = 0.0
+            # Static approximate pressure Schur S_bar = B diag(M)^{-1} B^T
+            # (unit coefficient) for the MG pressure-block preconditioner.
+            diag_rows = np.where(lvl.m_cols == np.arange(lvl.n_u)[:, None], m_vals, 0.0)
+            dM1 = np.maximum(diag_rows.sum(axis=1), 0.0)
+            dinv1 = np.where(ess | (dM1 <= 0), 0.0, 1.0 / np.maximum(dM1, 1e-300))
+            Bm = sp.csr_matrix(
+                (
+                    np.where(ess[lvl.cell_faces], 0.0, lvl.cell_signs).ravel(),
+                    (
+                        np.repeat(np.arange(lvl.n_s), lvl.cell_faces.shape[1]),
+                        lvl.cell_faces.ravel(),
+                    ),
+                ),
+                shape=(lvl.n_s, lvl.n_u),
+            )
+            sbar_csr.append((Bm @ sp.diags(dinv1) @ Bm.T).tocsr())
             self._lv.append(
                 dict(
                     n_u=lvl.n_u,
@@ -376,6 +629,30 @@ class UnstructuredDarcySolver:
                 )
             )
         self.solver_cfg = config.darcy_solver
+        # Block prolongations for warm-started pair solves.
+        self._prolong_rt = [
+            pack_csr_to_ell(P.tocsr(), dtype) for P in self.hierarchy.P_rt
+        ]
+        self._parent_dev = [
+            jnp.asarray(p, dtype=jnp.int32) for p in self.hierarchy.parent
+        ]
+        # Geometric MG on the static pressure Schur complement over the
+        # hierarchy's P0 prolongators - replaces the diagonal Schur
+        # approximation when darcy_solver.name == "minres-mg" (reference
+        # analog: BoomerAMG on S in DarcySolver_Legacy.cpp:499-534).
+        self._schur_mg = [None] * self.hierarchy.nlevels
+        if self.solver_cfg.name == "minres-mg" and self.hierarchy.nlevels > 1:
+            from parelagmc_tpu.ops.multigrid import build_mg_hierarchy
+
+            p_l2 = [
+                self.hierarchy.p_l2(l).tocsr()
+                for l in range(self.hierarchy.nlevels - 1)
+            ]
+            for l in range(self.hierarchy.nlevels - 1):
+                self._schur_mg[l] = build_mg_hierarchy(
+                    sbar_csr[l:], p_l2[l:], dtype,
+                    coarse_sweeps=self.solver_cfg.mg_coarse_sweeps,
+                )
 
     def num_dofs(self, level: int = 0) -> int:
         L = self._lv[level]
@@ -387,7 +664,30 @@ class UnstructuredDarcySolver:
             np.sum(np.asarray(L["cell_signs"]) != 0)
         )
 
-    def solve_fwd(self, level: int, w: jnp.ndarray, return_pressure: bool = False):
+    def solve_fwd_pair(self, level: int, w_f: jnp.ndarray, w_c: jnp.ndarray):
+        """Coupled (fine, coarse) solves with the fine MINRES warm-started
+        from the block-prolongated coarse solution [P_rt u_c; P_l2 p~_c]
+        (reference: MLMC_Manager.cpp:150-156 + DarcySolver SolveFwd with
+        initial iterate). Returns (q, qc, info_f, info_c)."""
+        qc, _, info_c, x_c = self.solve_fwd(
+            level + 1, w_c, return_pressure=False, return_solution=True
+        )
+        n_uc = int(self._lv[level + 1]["n_u"])
+        u0 = ell_apply(self._prolong_rt[level], x_c[..., :n_uc])
+        u0 = jnp.where(self._lv[level]["ess"], 0.0, u0)
+        p0 = jnp.take(x_c[..., n_uc:], self._parent_dev[level], axis=-1)
+        x0 = jnp.concatenate([u0, p0], axis=-1)
+        q, _, info_f = self.solve_fwd(level, w_f, x0=x0)
+        return q, qc, info_f, info_c
+
+    def solve_fwd(
+        self,
+        level: int,
+        w: jnp.ndarray,
+        return_pressure: bool = False,
+        x0=None,
+        return_solution: bool = False,
+    ):
         L = self._lv[level]
         n_u = int(L["n_u"])
         ess = L["ess"]
@@ -402,28 +702,44 @@ class UnstructuredDarcySolver:
 
         dM = jnp.where(ess, 1.0, L["m_diag"](w))
         inv_dM = 1.0 / dM
-        gathered = jnp.take(inv_dM, L["cell_faces"].reshape(-1), axis=-1).reshape(
-            inv_dM.shape[:-1] + L["cell_faces"].shape
-        )
-        dS = jnp.sum(gathered * (L["cell_signs"] ** 2), axis=-1)
-        inv_dS = 1.0 / jnp.maximum(dS, 1e-30)
+        if self._schur_mg[level] is not None:
+            from parelagmc_tpu.ops.multigrid import v_cycle
 
-        def prec(r):
-            return jnp.concatenate(
-                [r[..., :n_u] * inv_dM, r[..., n_u:] * inv_dS], axis=-1
-            )
+            mg = self._schur_mg[level]
+            # Per-sample geometric-mean coefficient scale on the static
+            # unit-coefficient Schur V-cycle (cf. physics/darcy.py).
+            w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+
+            def prec(r):
+                zp = w_bar * v_cycle(mg, r[..., n_u:])
+                return jnp.concatenate([r[..., :n_u] * inv_dM, zp], axis=-1)
+
+        else:
+            gathered = jnp.take(
+                inv_dM, L["cell_faces"].reshape(-1), axis=-1
+            ).reshape(inv_dM.shape[:-1] + L["cell_faces"].shape)
+            dS = jnp.sum(gathered * (L["cell_signs"] ** 2), axis=-1)
+            inv_dS = 1.0 / jnp.maximum(dS, 1e-30)
+
+            def prec(r):
+                return jnp.concatenate(
+                    [r[..., :n_u] * inv_dM, r[..., n_u:] * inv_dS], axis=-1
+                )
 
         b = jnp.broadcast_to(L["rhs"], w.shape[:-1] + L["rhs"].shape)
         x, info = minres(
             apply_A,
             b,
             prec=prec,
+            x0=x0,
             max_iters=self.solver_cfg.max_iterations,
             rtol=self.solver_cfg.relative_tolerance,
             atol=self.solver_cfg.absolute_tolerance,
         )
         Q = jnp.sum(x * L["obs"], axis=-1)
         cost = float(self.num_dofs(level))
+        if return_solution:
+            return Q, cost, info, x
         if return_pressure:
             return Q, cost, info, -x[..., n_u:]
         return Q, cost, info

@@ -142,16 +142,37 @@ class MLMCManager:
                 return q, q * 0.0, jnp_broadcast_iters(info.iterations, batch)
 
         else:
-
-            def step(key):
-                xi = sampler.sample(level, key, batch)
-                s_f = sampler.eval(level, xi)
-                s_c = sampler.eval(level + 1, xi, xi_level=level)
-                qc, _, info_c = solver.solve_fwd(level + 1, s_c)
-                q, _, info_f = solver.solve_fwd(level, s_f)
-                return q, qc, jnp_broadcast_iters(
-                    info_f.iterations + info_c.iterations, batch
+            # Coarse-then-fine with warm-started solves where available (the
+            # reference's Eval(l+1) -> Eval(l, ..., use_init) pattern,
+            # MLMC_Manager.cpp:150-156, PDESampler.cpp:451-516).
+            def eval_fields(xi):
+                if hasattr(sampler, "eval_pair"):
+                    return sampler.eval_pair(level, xi)
+                return (
+                    sampler.eval(level, xi),
+                    sampler.eval(level + 1, xi, xi_level=level),
                 )
+
+            if hasattr(solver, "solve_fwd_pair"):
+
+                def step(key):
+                    xi = sampler.sample(level, key, batch)
+                    s_f, s_c = eval_fields(xi)
+                    q, qc, info_f, info_c = solver.solve_fwd_pair(level, s_f, s_c)
+                    return q, qc, jnp_broadcast_iters(
+                        info_f.iterations + info_c.iterations, batch
+                    )
+
+            else:
+
+                def step(key):
+                    xi = sampler.sample(level, key, batch)
+                    s_f, s_c = eval_fields(xi)
+                    qc, _, info_c = solver.solve_fwd(level + 1, s_c)
+                    q, _, info_f = solver.solve_fwd(level, s_f)
+                    return q, qc, jnp_broadcast_iters(
+                        info_f.iterations + info_c.iterations, batch
+                    )
 
         if self.sharding is not None:
             step = self.sharding.shard_step(step)

@@ -119,3 +119,43 @@ def test_batched_levels_consistency():
         Q, _, _ = solver.solve_fwd(level, w)
         qs.append(float(Q[0]))
     np.testing.assert_allclose(qs, 2.0, rtol=1e-8)
+
+
+def test_solve_fwd_pair_matches_separate_solves():
+    # Warm-started pair solve (reference MLMC_Manager.cpp:150-156 +
+    # PDESampler.cpp:451-516) is an iteration-count optimization only: the
+    # converged results must match the separate cold solves.
+    import jax
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.fem import build_geometric_hierarchy
+    from parelagmc_tpu.mesh import make_box_mesh
+    from parelagmc_tpu.physics import DarcySolver
+    from parelagmc_tpu.samplers import SPDESampler
+
+    hier = build_geometric_hierarchy(make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0)), 2)
+    cfg = ProblemConfig(refinements=1)
+    cfg.darcy_solver.relative_tolerance = 1e-10
+    sampler = SPDESampler(hier, cfg, jnp.float64)
+    solver = DarcySolver(hier, cfg, jnp.float64)
+    xi = sampler.sample(0, jax.random.PRNGKey(4), 4)
+    s_f = sampler.eval(0, xi)
+    s_c = sampler.eval(1, xi, xi_level=0)
+    q_cold, _, _ = solver.solve_fwd(0, s_f)
+    qc_cold, _, _ = solver.solve_fwd(1, s_c)
+    q, qc, info_f, info_c = solver.solve_fwd_pair(0, s_f, s_c)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_cold), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(qc), np.asarray(qc_cold), rtol=1e-7)
+    # The warm start's value is accuracy at a FIXED iteration budget (the
+    # f32 production mode): with the budget capped, the warm-started pair
+    # must be much closer to the converged QoI than the cold solve.
+    cfg.darcy_solver.relative_tolerance = 0.0
+    cfg.darcy_solver.max_iterations = 15
+    solver2 = DarcySolver(hier, cfg, jnp.float64)
+    q15_cold, _, _ = solver2.solve_fwd(0, s_f)
+    q15_warm, _, _, _ = solver2.solve_fwd_pair(0, s_f, s_c)
+    err_cold = np.abs(np.asarray(q15_cold) - np.asarray(q_cold)).mean()
+    err_warm = np.abs(np.asarray(q15_warm) - np.asarray(q_cold)).mean()
+    # Strictly better on this small config; the gap widens on the golden
+    # 16^3 config (measured: 6.5e-2 warm vs 2.3 cold at 40 iterations).
+    assert err_warm < 0.85 * err_cold, (err_warm, err_cold)

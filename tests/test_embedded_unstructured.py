@@ -1,0 +1,183 @@
+"""Matching-mesh embedded SPDE sampler on unstructured meshes
+(UnstructuredEmbeddedSPDESampler - reference EmbeddedPDESampler.cpp:58-89
+materialId selection) and its agreement with the mortar-projection sampler,
+mirroring the reference's matching-vs-nonmatching consistency golden
+(examples/CMakeLists.txt:73 vs :109)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.mesh.mfem_io import read_mfem_mesh
+from parelagmc_tpu.unstructured import (
+    UnstructuredEmbeddedSPDESampler,
+    UnstructuredProjectionSPDESampler,
+    build_embedded_simplicial_hierarchies,
+    match_embedded_cells,
+)
+
+MESHES = "/root/reference/meshes"
+DT = jnp.float64
+
+
+def test_match_embedded_cells_rejects_mismatch():
+    o = read_mfem_mesh(f"{MESHES}/cube_tet.mesh")
+    e = read_mfem_mesh(f"{MESHES}/cube_tet_embed.mesh")
+    with pytest.raises(ValueError, match="matching embedding"):
+        match_embedded_cells(o, e)
+
+
+@pytest.mark.parametrize("pair", ["circle", "square", "cylinder"])
+def test_selection_alignment_all_levels(pair):
+    o = read_mfem_mesh(f"{MESHES}/{pair}.mesh")
+    e = read_mfem_mesh(f"{MESHES}/{pair}_embed.mesh")
+    nl = 2 if pair == "cylinder" else 3
+    oh, eh, sel = build_embedded_simplicial_hierarchies(o, e, nl)
+    for l in range(nl):
+        om, em = oh.levels[l].mesh, eh.levels[l].mesh
+        oc = om.vertices[np.stack(om.elements)].mean(1)
+        ec = em.vertices[np.stack(em.elements)].mean(1)
+        assert np.abs(ec[sel[l]] - oc).max() < 1e-12
+        # Volumes agree too (the selection is an exact geometric twin).
+        np.testing.assert_allclose(
+            oh.levels[l].W, eh.levels[l].W[sel[l]], rtol=1e-12
+        )
+
+
+def test_embedded_sampler_reduces_boundary_inflation_circle():
+    """The whole point of embedding (reference EmbeddedPDESampler.hpp:24-43):
+    the variance inflation at the original domain's boundary disappears when
+    the SPDE is solved on the enlarged domain. Reference goldens show the
+    same effect (no-embedding variance error 9.31 vs embedded 9.03 on its
+    config, examples/CMakeLists.txt:69-87)."""
+    from parelagmc_tpu.unstructured import UnstructuredSPDESampler
+
+    o = read_mfem_mesh(f"{MESHES}/circle.mesh")
+    e = read_mfem_mesh(f"{MESHES}/circle_embed.mesh")
+    oh, eh, sel = build_embedded_simplicial_hierarchies(o, e, 2)
+    cfg = ProblemConfig(
+        refinements=1, correlation_length=0.05, variance=1.0, lognormal=False
+    )
+    plain = UnstructuredSPDESampler(oh, cfg, DT)
+    emb = UnstructuredEmbeddedSPDESampler(oh, eh, sel, cfg, DT)
+    n = 192
+    key = jax.random.PRNGKey(11)
+    s_plain = np.asarray(plain.eval(0, plain.sample(0, key, n)))
+    s_emb = np.asarray(emb.eval(0, emb.sample(0, key, n)))
+    assert s_emb.shape == (n, oh.levels[0].n_s)
+    v_plain = np.median(s_plain.var(axis=0))
+    v_emb = np.median(s_emb.var(axis=0))
+    # Embedded variance much closer to the target sigma^2 = 1.
+    assert abs(v_emb - 1.0) < 0.6 * abs(v_plain - 1.0), (v_plain, v_emb)
+    # Coupled coarse/fine evaluation works through the embedded mesh.
+    xi = emb.sample(0, jax.random.PRNGKey(12), 8)
+    s_c = np.asarray(emb.eval(1, xi, xi_level=0))
+    assert s_c.shape == (8, oh.levels[1].n_s)
+    assert np.isfinite(s_c).all()
+
+
+def test_embedded_agglomerated_levels_circle():
+    """Agglomeration mode: material-interface-preserving partitions (the
+    reference's EmbeddedBuildTopology + LogicalPartitioner semantics,
+    Utilities.cpp:42-123); the coarse selection is a pure agglomerate map."""
+    o = read_mfem_mesh(f"{MESHES}/circle.mesh")
+    e = read_mfem_mesh(f"{MESHES}/circle_embed.mesh")
+    oh, eh, sel = build_embedded_simplicial_hierarchies(
+        o, e, 3, unstructured_coarsening=True, coarsening_factor=4
+    )
+    for l in range(3):
+        assert oh.levels[l].n_s == len(np.unique(sel[l]))
+        # Selected embedded agglomerates have the same volume as the
+        # original agglomerates (pure material-1 agglomerates).
+        np.testing.assert_allclose(
+            oh.levels[l].W, np.asarray(eh.levels[l].W)[sel[l]], rtol=1e-10
+        )
+    cfg = ProblemConfig(
+        refinements=2, correlation_length=0.05, variance=1.0, lognormal=False
+    )
+    emb = UnstructuredEmbeddedSPDESampler(oh, eh, sel, cfg, DT)
+    xi = emb.sample(0, jax.random.PRNGKey(3), 16)
+    s_f = np.asarray(emb.eval(0, xi))
+    s_c = np.asarray(emb.eval(2, xi, xi_level=0))
+    assert s_f.shape == (16, 144) and s_c.shape[1] == oh.levels[2].n_s
+    assert np.isfinite(s_f).all() and np.isfinite(s_c).all()
+
+
+def test_matching_equals_projection_on_same_embed_mesh():
+    """The reference's cross-implementation consistency check
+    (examples/CMakeLists.txt:73 vs :109 share one golden regex): when the
+    mortar-projection sampler runs on the SAME enlarged mesh the matching
+    sampler uses, the P0 L2 projection onto the original mesh must equal the
+    materialId selection exactly (original cells coincide with the
+    material-1 cells), so identical noise gives identical fields."""
+    o = read_mfem_mesh(f"{MESHES}/cylinder.mesh")
+    e = read_mfem_mesh(f"{MESHES}/cylinder_embed.mesh")
+    oh, eh, sel = build_embedded_simplicial_hierarchies(o, e, 2)
+    cfg = ProblemConfig(
+        refinements=1, correlation_length=0.3, variance=1.0, lognormal=False
+    )
+    emb = UnstructuredEmbeddedSPDESampler(oh, eh, sel, cfg, DT)
+    proj = UnstructuredProjectionSPDESampler(oh, eh, cfg, DT)
+    xi = emb.sample(0, jax.random.PRNGKey(21), 8)
+    s_m = np.asarray(emb.eval(0, xi))
+    s_p = np.asarray(proj.eval(0, xi))
+    np.testing.assert_allclose(s_p, s_m, rtol=5e-5, atol=5e-7)
+    # Coarse coupled level agrees too.
+    s_mc = np.asarray(emb.eval(1, xi, xi_level=0))
+    s_pc = np.asarray(proj.eval(1, xi, xi_level=0))
+    np.testing.assert_allclose(s_pc, s_mc, rtol=5e-5, atol=5e-7)
+
+
+def test_matching_vs_projection_statistics_cylinder():
+    """Statistical agreement between matching embedding (cylinder_embed)
+    and non-matching mortar projection on the independently generated
+    cylinder_enlarge mesh: different embedded discretizations => different
+    noise dofs, so the comparison is distributional (the reference's two
+    tests print equal statistics because both resolve the same continuum
+    field; at one refinement the discrete variances agree to ~20%)."""
+    o = read_mfem_mesh(f"{MESHES}/cylinder.mesh")
+    e_match = read_mfem_mesh(f"{MESHES}/cylinder_embed.mesh")
+    e_proj = read_mfem_mesh(f"{MESHES}/cylinder_enlarge.mesh")
+    oh, eh, sel = build_embedded_simplicial_hierarchies(o, e_match, 2)
+    from parelagmc_tpu.fem.simplicial_hierarchy import build_simplicial_hierarchy
+
+    ph = build_simplicial_hierarchy(e_proj, 2)
+    cfg = ProblemConfig(
+        refinements=1, correlation_length=0.3, variance=1.0, lognormal=False
+    )
+    emb = UnstructuredEmbeddedSPDESampler(oh, eh, sel, cfg, DT)
+    proj = UnstructuredProjectionSPDESampler(oh, ph, cfg, DT)
+    n = 128
+    s_m = np.asarray(emb.eval(0, emb.sample(0, jax.random.PRNGKey(21), n)))
+    s_p = np.asarray(proj.eval(0, proj.sample(0, jax.random.PRNGKey(22), n)))
+    assert s_m.shape == s_p.shape == (n, 3072)
+    v_m, v_p = float(s_m.var(axis=0).mean()), float(s_p.var(axis=0).mean())
+    assert 0.65 < v_p / v_m < 1.5, (v_m, v_p)
+    std = np.sqrt(v_m)
+    assert abs(s_m.mean()) < 4 * std / np.sqrt(n)
+    assert abs(s_p.mean()) < 4 * std / np.sqrt(n)
+
+
+def test_build_problem_matching_embedding_mesh_file():
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh=f"{MESHES}/circle.mesh",
+        embedding="matching",
+        refinements=1,
+        correlation_length=0.05,
+        qoi="p_int",
+        ess_attr=(0, 0),
+        inflow_attr=(0, 1),
+        obs_attr=(0, 0),
+        dtype="float64",
+    )
+    prob = build_problem(cfg)
+    assert isinstance(prob.sampler, UnstructuredEmbeddedSPDESampler)
+    q, _, _ = prob.solver.solve_fwd(
+        0, prob.sampler.eval(0, prob.sampler.sample(0, jax.random.PRNGKey(0), 4))
+    )
+    assert np.isfinite(np.asarray(q)).all()
