@@ -214,19 +214,106 @@ class MaternCovariance(CovarianceFunction):
         r = self.kappa * np.sqrt((diff ** 2).sum(axis=-1))
         return self.kernel(r)
 
-    def solve_eigenvalue(self) -> None:
+    # -- scalable matrix-free kernel products --------------------------------
+    def _uniform_grid_shape(self):
+        """(shape, spacings) when the mesh is a uniform tensor grid (per
+        axis), else None - enables the FFT block-Toeplitz fast path."""
+        if not isinstance(self.mesh, StructuredMesh):
+            return None
+        hs = []
+        for a in self.mesh.axes:
+            d = np.diff(a)
+            if not np.allclose(d, d[0], rtol=1e-10, atol=1e-14):
+                return None
+            hs.append(float(d[0]))
+        return self.mesh.shape, hs
+
+    def _fft_symbol(self, shape, hs):
+        """FFT of the kernel on the circulant embedding torus (2n per axis):
+        the stationary kernel makes C block-Toeplitz on a uniform grid, so
+        C @ X is exact via padded FFT convolution - O(n log n) instead of
+        the reference's dense/LOBPCG O(n^2) products
+        (MaternCovariance.cpp:357-420)."""
+        d = len(shape)
+        wraps = []
+        for n_a, h in zip(shape, hs):
+            m = 2 * n_a
+            idx = np.arange(m)
+            off = np.minimum(idx, m - idx).astype(np.float64) * h
+            wraps.append(off)
+        grids = np.meshgrid(*wraps, indexing="ij")
+        r = self.kappa * np.sqrt(sum(g ** 2 for g in grids))
+        ker = self.kernel(r)
+        return np.fft.rfftn(ker)
+
+    def _matmat(self, X: np.ndarray, block: int = 2048) -> np.ndarray:
+        """C @ X without materializing C. FFT path on uniform grids;
+        blocked kernel rows otherwise (O(n * block) memory)."""
+        uni = self._uniform_grid_shape()
+        n, k = X.shape
+        if uni is not None:
+            shape, hs = uni
+            sym = self._fft_symbol(shape, hs)
+            out = np.empty_like(X)
+            # x-fastest flattening => reshape to (z, y, x) = reversed shape,
+            # transpose to (x, y, z) ordering of `shape`.
+            rev = tuple(reversed(shape))
+            axes_perm = tuple(reversed(range(len(shape))))
+            for j in range(k):
+                g = X[:, j].reshape(rev).transpose(axes_perm)
+                pad = np.zeros([2 * s for s in shape])
+                pad[tuple(slice(0, s) for s in shape)] = g
+                conv = np.fft.irfftn(np.fft.rfftn(pad) * sym, s=[2 * s for s in shape])
+                res = conv[tuple(slice(0, s) for s in shape)]
+                out[:, j] = res.transpose(axes_perm).reshape(-1)
+            return out
+        centers = self.mesh.cell_centers()
+        out = np.zeros((n, k))
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            diff = centers[s:e, None, :] - centers[None, :, :]
+            rows = self.kernel(self.kappa * np.sqrt((diff ** 2).sum(axis=-1)))
+            out[s:e] = rows @ X
+        return out
+
+    def solve_eigenvalue(
+        self,
+        dense_cutoff: int = 4096,
+        oversample: int = 20,
+        power_iters: int = 4,
+        seed: int = 7,
+    ) -> None:
+        """Leading (theta, b) eigenpairs of the Galerkin/Nystrom problem.
+
+        Small meshes: dense eigh (exact). Large meshes: randomized subspace
+        iteration on A = W^{1/2} C W^{1/2} with matrix-free kernel products
+        (_matmat) - the TPU-era replacement of the reference's hypre
+        LOBPCG+BoomerAMG large-problem path (MaternCovariance.cpp:357-420).
+        Oracle-tested against the dense path (tests/test_kl.py)."""
         import scipy.linalg as sla
 
-        C = self.covariance_matrix()
         W = self.mesh.cell_volumes()
         ws = np.sqrt(W)
-        # eigh of W^{1/2} C W^{1/2}: eigenpairs of the Nystrom/Galerkin
-        # generalized problem (W C W) b = theta W b with b = y / sqrt(W).
-        A = ws[:, None] * C * ws[None, :]
-        n = A.shape[0]
-        theta, Y = sla.eigh(A, subset_by_index=(n - self.nmodes, n - 1))
-        theta = theta[::-1]
-        Y = Y[:, ::-1]
+        n = int(self.mesh.num_cells)
+        if n <= dense_cutoff:
+            C = self.covariance_matrix()
+            A = ws[:, None] * C * ws[None, :]
+            theta, Y = sla.eigh(A, subset_by_index=(n - self.nmodes, n - 1))
+            theta = theta[::-1]
+            Y = Y[:, ::-1]
+        else:
+            k = min(self.nmodes + oversample, n)
+            rng = np.random.default_rng(seed)
+            Q = rng.standard_normal((n, k))
+            for _ in range(power_iters + 1):
+                Z = ws[:, None] * self._matmat(ws[:, None] * Q)
+                Q, _ = np.linalg.qr(Z)
+            T = Q.T @ (ws[:, None] * self._matmat(ws[:, None] * Q))
+            T = 0.5 * (T + T.T)
+            theta_all, S = sla.eigh(T)
+            order = np.argsort(theta_all)[::-1][: self.nmodes]
+            theta = theta_all[order]
+            Y = Q @ S[:, order]
         b = Y / ws[:, None]  # unit W-norm automatically (Y orthonormal)
         self.eigenvalues = np.maximum(theta, 0.0)
         self.eigenvectors = b

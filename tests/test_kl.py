@@ -135,3 +135,47 @@ def test_kl_mlmc_smoke(tmp_path):
     est = mgr.run()
     assert 1.0 < est < 5.0
     mgr.close()
+
+
+def test_matern_randomized_matches_dense_oracle():
+    """Scalable Matern path (round-1 VERDICT item 8): matrix-free randomized
+    subspace iteration vs the dense eigh oracle on a small mesh, plus the
+    FFT block-Toeplitz matvec vs the dense kernel matrix."""
+    from parelagmc_tpu.mesh import make_box_mesh
+    from parelagmc_tpu.samplers.covariance import MaternCovariance
+
+    mesh = make_box_mesh((12, 12), lengths=(1.0, 1.0))
+    dense = MaternCovariance(mesh, 0.3, 12)
+    dense.solve_eigenvalue()
+    rand = MaternCovariance(mesh, 0.3, 12)
+    rand.solve_eigenvalue(dense_cutoff=1)  # force the randomized path
+    rel = np.abs(dense.eigenvalues - rand.eigenvalues).max() / dense.eigenvalues[0]
+    assert rel < 1e-8, rel
+    # Eigen-residual (robust to degenerate-pair rotations): C W b = theta b.
+    C = dense.covariance_matrix()
+    W = mesh.cell_volumes()
+    R = C @ (W[:, None] * rand.eigenvectors) - rand.eigenvalues * rand.eigenvectors
+    assert np.abs(R).max() < 1e-5
+    # W-orthonormal modes.
+    G = rand.eigenvectors.T @ (W[:, None] * rand.eigenvectors)
+    assert np.abs(G - np.eye(G.shape[0])).max() < 1e-10
+    # FFT matvec oracle.
+    X = np.random.default_rng(0).standard_normal((mesh.num_cells, 3))
+    np.testing.assert_allclose(dense._matmat(X), C @ X, rtol=1e-10, atol=1e-12)
+
+
+def test_matern_blocked_matvec_unstructured():
+    # Non-uniform / unstructured centers take the blocked kernel path.
+    from parelagmc_tpu.mesh.mfem_io import read_mfem_mesh
+    from parelagmc_tpu.samplers.covariance import MaternCovariance
+
+    gm = read_mfem_mesh("/root/reference/meshes/circle.mesh")
+    cov = MaternCovariance(gm, 0.1, 6)
+    C = cov.covariance_matrix()
+    X = np.random.default_rng(1).standard_normal((C.shape[0], 2))
+    np.testing.assert_allclose(cov._matmat(X, block=50), C @ X, rtol=1e-12)
+    cov.solve_eigenvalue(dense_cutoff=1)
+    dense = MaternCovariance(gm, 0.1, 6)
+    dense.solve_eigenvalue()
+    rel = np.abs(dense.eigenvalues - cov.eigenvalues).max() / dense.eigenvalues[0]
+    assert rel < 1e-8, rel
