@@ -10,8 +10,8 @@ have per-cell coefficients
     off[i,i+1] = w[i]*m6[i],                    m6 = h^2/(6V)
 
 (one-sided at boundaries), so M(w)^{-1} is applied *exactly* per sample by
-batched tridiagonal solves (jax.lax.linalg.tridiagonal_solve - log-depth,
-TPU-supported). This unlocks the exact pressure Schur-complement CG for
+batched Thomas-scan tridiagonal solves (solved axis leading, so the big
+line/batch dims stay in TPU-tiled positions). This unlocks the exact pressure Schur-complement CG for
 the Darcy problem (physics/darcy.py "cg-schur"): the reference needs AMG
 preconditioners because its meshes are unstructured; on tensor grids the
 velocity block is directly invertible.
@@ -26,7 +26,7 @@ from typing import List, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax.lax.linalg import tridiagonal_solve
+import jax
 
 from parelagmc_tpu.fem.assembly import MixedLevel
 
@@ -40,11 +40,50 @@ class _AxisData(NamedTuple):
     perm_face: Tuple[int, ...]
 
 
+def _thomas_solve(dl, d, du, b):
+    """Batched Thomas algorithm for tridiagonal systems along the LAST axis.
+
+    dl/d/du broadcast against b over the leading (line/batch) dims. TPU
+    layout note: jax.lax.linalg.tridiagonal_solve wants the solved axis at
+    -2 and a num-rhs axis at -1; with one rhs per line that trailing
+    singleton is padded to a full 128 lane tile (measured 130x memory
+    expansion at SPE10 scale - OOM at batch 64). Scanning over the solved
+    axis placed FIRST keeps the big line/batch dims in the tiled positions
+    instead. The systems are SPD and diagonally dominant (RT0 mass lines),
+    so no pivoting is needed.
+    """
+    move = lambda x: jnp.moveaxis(jnp.broadcast_to(x, b.shape), -1, 0)
+    dl_s, d_s, du_s, b_s = move(dl), move(d), move(du), move(b)
+
+    # Forward sweep: c'_i = du_i / (d_i - dl_i c'_{i-1});
+    #                g_i = (b_i - dl_i g_{i-1}) / (d_i - dl_i c'_{i-1}).
+    def fwd(carry, row):
+        c_prev, g_prev = carry
+        dl_i, d_i, du_i, b_i = row
+        denom = d_i - dl_i * c_prev
+        c_i = du_i / denom
+        g_i = (b_i - dl_i * g_prev) / denom
+        return (c_i, g_i), (c_i, g_i)
+
+    zero = jnp.zeros_like(b_s[0])
+    (_, _), (c, g) = jax.lax.scan(fwd, (zero, zero), (dl_s, d_s, du_s, b_s))
+
+    # Back substitution: x_i = g_i - c'_i x_{i+1}.
+    def bwd(x_next, row):
+        c_i, g_i = row
+        x_i = g_i - c_i * x_next
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(bwd, zero, (c, g), reverse=True)
+    return jnp.moveaxis(xs, 0, -1)
+
+
 class MassTridiagSolver(NamedTuple):
     axes: Tuple[_AxisData, ...]
     shape: Tuple[int, ...]  # cells per mesh axis (x first)
     face_offsets: Tuple[int, ...]
     n_u: int
+    use_scan: bool = False  # Thomas scan (big grids) vs tridiagonal_solve
 
     def __call__(self, w: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """z = M(w)^{-1} rhs, batched over leading dims of w/rhs."""
@@ -77,14 +116,22 @@ class MassTridiagSolver(NamedTuple):
             r = rhs[..., self.face_offsets[a]: self.face_offsets[a + 1]]
             r = r.reshape(batch + tuple(fshape[::-1]))
             r = jnp.transpose(r, tuple(range(nb)) + tuple(nb + p for p in ax.perm_face))
-            # Broadcast the static band arrays over the batch.
-            bshape = r.shape[:-1] + (r.shape[-1],)
-            z = tridiagonal_solve(
-                jnp.broadcast_to(dl, bshape),
-                jnp.broadcast_to(diag, bshape),
-                jnp.broadcast_to(du, bshape),
-                r[..., None],
-            )[..., 0]
+            if self.use_scan:
+                # Thomas scan: no trailing-singleton lane padding (130x
+                # expansion measured at SPE10 scale, OOM at batch 64).
+                z = _thomas_solve(dl, diag, du, r)
+            else:
+                # Small grids: the parallel primitive wins over the scan's
+                # sequential latency despite the padded num-rhs lane.
+                from jax.lax.linalg import tridiagonal_solve
+
+                bshape = r.shape[:-1] + (r.shape[-1],)
+                z = tridiagonal_solve(
+                    jnp.broadcast_to(dl, bshape),
+                    jnp.broadcast_to(diag, bshape),
+                    jnp.broadcast_to(du, bshape),
+                    r[..., None],
+                )[..., 0]
             inv = np.argsort(ax.perm_face)
             z = jnp.transpose(z, tuple(range(nb)) + tuple(nb + p for p in inv))
             outs.append(z.reshape(batch + (-1,)))
@@ -141,4 +188,7 @@ def build_mass_tridiag_solver(
         shape=shape,
         face_offsets=tuple(int(x) for x in mesh.face_offsets),
         n_u=lvl.n_u,
+        # Above ~32k cells the tridiagonal_solve num-rhs lane padding costs
+        # more memory/bandwidth than the scan's sequential latency.
+        use_scan=int(np.prod(shape)) > 32768,
     )

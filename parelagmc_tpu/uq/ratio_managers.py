@@ -121,18 +121,26 @@ class BayesRatioManager:
 
         else:
 
+            def eval_coupled(xi):
+                # Warm-started coupled prior fields where the sampler has
+                # them (cf. MLMCManager._step).
+                if hasattr(prior, "eval_pair"):
+                    return prior.eval_pair(level, xi)
+                return (
+                    prior.eval(level, xi),
+                    prior.eval(level + 1, xi, xi_level=level),
+                )
+
             def step(key):
                 kz, kr = jax.random.split(key)
                 zxi = prior.sample(level, kz, batch)
                 xi = prior.sample(level, kr, batch)
-                z, _ = prob.likelihood(level, prior.eval(level, zxi))
-                zc, _ = prob.likelihood(
-                    level + 1, prior.eval(level + 1, zxi, xi_level=level)
-                )
-                r, _ = prob.compute_R(level, prior.eval(level, xi))
-                rc, _ = prob.compute_R(
-                    level + 1, prior.eval(level + 1, xi, xi_level=level)
-                )
+                kz_f, kz_c = eval_coupled(zxi)
+                kr_f, kr_c = eval_coupled(xi)
+                z, _ = prob.likelihood(level, kz_f)
+                zc, _ = prob.likelihood(level + 1, kz_c)
+                r, _ = prob.compute_R(level, kr_f)
+                rc, _ = prob.compute_R(level + 1, kr_c)
                 return r, rc, z, zc
 
         if self.sharding is not None:

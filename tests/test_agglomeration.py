@@ -206,3 +206,47 @@ def test_three_level_recursion_cylinder():
     Bc = c.b_csr().toarray()
     nz = np.abs(Bc) > 1e-8
     np.testing.assert_allclose(np.abs(Bc[nz]), 1.0, atol=1e-8)
+
+
+def test_cylsphere_agglomerated_sampler():
+    """cylsphere.mesh (cylinder with a spherical cavity, 4 boundary attrs) -
+    the last untested bundled curved mesh: agglomerated hierarchy + SPDE
+    sampler moments and MLMC coupling (reference runs its sampler tests on
+    these meshes via mesh params, examples/CMakeLists.txt:69-109)."""
+    import jax
+
+    from parelagmc_tpu.unstructured import UnstructuredSPDESampler
+
+    gm = read_mfem_mesh(f"{MESHES}/cylsphere.mesh")
+    hier = build_agglomerated_hierarchy(gm, 2, coarsening_factor=8)
+    assert hier.levels[0].n_s == 705
+    assert hier.levels[1].n_s <= 705 // 4
+    # Oracle invariants.
+    P, Pl2 = hier.P_rt[0], hier.p_l2(0)
+    f, c = hier.levels[0], hier.levels[1]
+    np.testing.assert_allclose(
+        c.mass_csr().toarray(), (P.T @ f.mass_csr() @ P).toarray(), atol=1e-11
+    )
+    Bc = c.b_csr().toarray()
+    nz = np.abs(Bc) > 1e-8
+    np.testing.assert_allclose(np.abs(Bc[nz]), 1.0, atol=1e-8)
+    # All four native boundary attributes survive agglomeration.
+    assert set(np.unique(f.bdr_attr)) >= {1, 2, 3, 4}
+    assert set(np.unique(c.bdr_attr)) - {0} <= {1, 2, 3, 4}
+    cfg = ProblemConfig(
+        refinements=1, correlation_length=0.4, variance=1.0, lognormal=False
+    )
+    smp = UnstructuredSPDESampler(hier, cfg, DT)
+    n = 64
+    xi = smp.sample(0, jax.random.PRNGKey(9), n)
+    s_f = np.asarray(smp.eval(0, xi))
+    s_c = np.asarray(smp.eval(1, xi, xi_level=0))
+    assert np.isfinite(s_f).all() and np.isfinite(s_c).all()
+    lab = hier.parent[0]
+    W = f.W
+    den = np.bincount(lab, weights=W, minlength=c.n_s)
+    avg = np.stack(
+        [np.bincount(lab, weights=W * s_f[i], minlength=c.n_s) / den for i in range(n)]
+    )
+    corr = np.corrcoef(avg.ravel(), s_c.ravel())[0, 1]
+    assert corr > 0.9, corr
