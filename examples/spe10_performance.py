@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from examples.common import parse_config
@@ -106,7 +107,9 @@ def main(argv=None):
 
         def sample_eval(k, level=level):
             s = sampler.eval(level, sampler.sample(level, k, batch))
-            return (s,)
+            # Per-sample reduction: fetch O(batch) scalars, not the O(n_s)
+            # field - the tunnel transfer would otherwise dominate timing.
+            return jnp.mean(s, axis=-1), jnp.zeros(())
 
         row["sample_eval"] = timed(sample_eval, "Sample+Eval")
 

@@ -57,6 +57,12 @@ def _lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
             i64p, i64p, f64p, ctypes.c_int64,
         ]
+        lib.mortar_moments_couple.restype = ctypes.c_int64
+        lib.mortar_moments_couple.argtypes = [
+            f64p, i64p, ctypes.c_int64, f64p, i64p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+            i64p, i64p, f64p, f64p, f64p, ctypes.c_int64,
+        ]
         lib.detect_intersections_bruteforce.restype = ctypes.c_int64
         lib.detect_intersections_bruteforce.argtypes = [
             f64p, i64p, ctypes.c_int64, f64p, i64p, ctypes.c_int64,
@@ -157,6 +163,40 @@ def mortar_p0_couple(mesh1, mesh2, tol: float = 1e-12):
     return sp.csr_matrix(
         (out_v[:n], (out_i[:n], out_j[:n])),
         shape=(c1.shape[0], c2.shape[0]),
+    )
+
+
+def mortar_moments(mesh1, mesh2, tol: float = 1e-12):
+    """Per intersected pair: (i, j, volume, first moments (dim,), second
+    moments (dim*(dim+1)/2,)). The moment table is sufficient to assemble
+    any mortar integral of products of affine factors - see
+    transfer_integrators.py for the P1 and RT0 (VectorL2) assemblers."""
+    v1, c1 = _as_arrays(mesh1)
+    v2, c2 = _as_arrays(mesh2)
+    dim = v1.shape[1]
+    nm2 = 6 if dim == 3 else 3
+    cap = max(16 * max(c1.shape[0], c2.shape[0]), 1024)
+    lib = _lib()
+    while True:
+        out_i = np.empty(cap, dtype=np.int64)
+        out_j = np.empty(cap, dtype=np.int64)
+        out_v = np.empty(cap, dtype=np.float64)
+        out_m1 = np.empty(cap * dim, dtype=np.float64)
+        out_m2 = np.empty(cap * nm2, dtype=np.float64)
+        n = lib.mortar_moments_couple(
+            v1, c1, c1.shape[0], v2, c2, c2.shape[0],
+            c1.shape[1], c2.shape[1], dim, tol,
+            out_i, out_j, out_v, out_m1, out_m2, cap,
+        )
+        if n >= 0:
+            break
+        cap = -n + 16
+    return (
+        out_i[:n].copy(),
+        out_j[:n].copy(),
+        out_v[:n].copy(),
+        out_m1[: n * dim].reshape(n, dim).copy(),
+        out_m2[: n * nm2].reshape(n, nm2).copy(),
     )
 
 

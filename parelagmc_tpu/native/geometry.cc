@@ -273,6 +273,191 @@ double intersect_volume_3d(const Plane3* planes_in, int np_in, double tol) {
   return vol;
 }
 
+// Moments of the intersection polytope: volume, first moments int x dV
+// (3 values), second moments int x x^T dV (xx, yy, zz, xy, xz, yz).
+// Simplex closed forms (vertices p_0..p_d, measure V):
+//   int x     = V * mean(p_i)
+//   int x x^T = V / ((d+1)(d+2)) * (sum_i p_i p_i^T + (sum_i p_i)(sum_i p_i)^T)
+// Needed for the higher-order / vector mortar integrators (reference:
+// L2MortarIntegrator / VectorL2MortarIntegrator on composite quadratures,
+// src/transfer/MortarIntegrator.hpp:19-111).
+struct Moments3 {
+  double v = 0, m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
+};
+
+inline void add_tet_moments(const double* a, const double* b, const double* c,
+                            const double* p, Moments3* out) {
+  double u[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+  double v[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+  double w[3] = {p[0] - a[0], p[1] - a[1], p[2] - a[2]};
+  double cr[3];
+  cross(u, v, cr);
+  double vol = std::fabs(cr[0] * w[0] + cr[1] * w[1] + cr[2] * w[2]) / 6.0;
+  if (vol <= 0) return;
+  out->v += vol;
+  double s[3];
+  const double* q[4] = {a, b, c, p};
+  for (int d = 0; d < 3; ++d) {
+    s[d] = a[d] + b[d] + c[d] + p[d];
+    out->m1[d] += vol * s[d] / 4.0;
+  }
+  const double f = vol / 20.0;  // 1/((d+1)(d+2)) = 1/20 for d = 3
+  const int pairs[6][2] = {{0, 0}, {1, 1}, {2, 2}, {0, 1}, {0, 2}, {1, 2}};
+  for (int k = 0; k < 6; ++k) {
+    int da = pairs[k][0], db = pairs[k][1];
+    double pp = 0;
+    for (int i = 0; i < 4; ++i) pp += q[i][da] * q[i][db];
+    out->m2[k] += f * (pp + s[da] * s[db]);
+  }
+}
+
+Moments3 intersect_moments_3d(const Plane3* planes_in, int np_in, double tol) {
+  Moments3 out;
+  Plane3 planes[2 * kMaxPlanes];
+  int np = dedup_planes_3d(planes_in, np_in, planes, tol);
+  double vx[512], vy[512], vz[512];
+  int nvert = 0;
+  for (int a = 0; a < np && nvert < 512; ++a)
+    for (int b = a + 1; b < np && nvert < 512; ++b)
+      for (int c = b + 1; c < np && nvert < 512; ++c) {
+        const double* n1 = planes[a].n;
+        const double* n2 = planes[b].n;
+        const double* n3 = planes[c].n;
+        double det = n1[0] * (n2[1] * n3[2] - n2[2] * n3[1]) -
+                     n1[1] * (n2[0] * n3[2] - n2[2] * n3[0]) +
+                     n1[2] * (n2[0] * n3[1] - n2[1] * n3[0]);
+        if (std::fabs(det) < 1e-12) continue;
+        double d1 = planes[a].d, d2 = planes[b].d, d3 = planes[c].d;
+        double x = (d1 * (n2[1] * n3[2] - n2[2] * n3[1]) -
+                    n1[1] * (d2 * n3[2] - n2[2] * d3) +
+                    n1[2] * (d2 * n3[1] - n2[1] * d3)) / det;
+        double y = (n1[0] * (d2 * n3[2] - n2[2] * d3) -
+                    d1 * (n2[0] * n3[2] - n2[2] * n3[0]) +
+                    n1[2] * (n2[0] * d3 - d2 * n3[0])) / det;
+        double z = (n1[0] * (n2[1] * d3 - d2 * n3[1]) -
+                    n1[1] * (n2[0] * d3 - d2 * n3[0]) +
+                    d1 * (n2[0] * n3[1] - n2[1] * n3[0])) / det;
+        bool inside = true;
+        for (int k = 0; k < np; ++k) {
+          if (planes[k].n[0] * x + planes[k].n[1] * y + planes[k].n[2] * z >
+              planes[k].d + tol) {
+            inside = false;
+            break;
+          }
+        }
+        if (inside) { vx[nvert] = x; vy[nvert] = y; vz[nvert] = z; ++nvert; }
+      }
+  if (nvert < 4) return out;
+  double cx = 0, cy = 0, cz = 0;
+  for (int i = 0; i < nvert; ++i) { cx += vx[i]; cy += vy[i]; cz += vz[i]; }
+  cx /= nvert; cy /= nvert; cz /= nvert;
+  double cen[3] = {cx, cy, cz};
+  for (int k = 0; k < np; ++k) {
+    const double* n = planes[k].n;
+    double d = planes[k].d;
+    int idx[128];
+    int m = 0;
+    for (int i = 0; i < nvert && m < 128; ++i) {
+      if (std::fabs(n[0] * vx[i] + n[1] * vy[i] + n[2] * vz[i] - d) <= 10 * tol)
+        idx[m++] = i;
+    }
+    if (m < 3) continue;
+    double t1[3];
+    double ref[3] = {1.0, 0.0, 0.0};
+    if (std::fabs(n[0]) > 0.9) { ref[0] = 0.0; ref[1] = 1.0; }
+    cross(n, ref, t1);
+    double l1 = std::sqrt(t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2]);
+    t1[0] /= l1; t1[1] /= l1; t1[2] /= l1;
+    double t2[3];
+    cross(n, t1, t2);
+    double fx = 0, fy = 0, fz = 0;
+    for (int j = 0; j < m; ++j) { fx += vx[idx[j]]; fy += vy[idx[j]]; fz += vz[idx[j]]; }
+    fx /= m; fy /= m; fz /= m;
+    double fcen[3] = {fx, fy, fz};
+    double ang[128];
+    for (int j = 0; j < m; ++j) {
+      double rx = vx[idx[j]] - fx, ry = vy[idx[j]] - fy, rz = vz[idx[j]] - fz;
+      ang[j] = std::atan2(rx * t2[0] + ry * t2[1] + rz * t2[2],
+                          rx * t1[0] + ry * t1[1] + rz * t1[2]);
+    }
+    int order[128];
+    for (int j = 0; j < m; ++j) order[j] = j;
+    std::sort(order, order + m, [&](int a, int b) { return ang[a] < ang[b]; });
+    for (int j = 0; j < m; ++j) {
+      int ja = idx[order[j]];
+      int jb = idx[order[(j + 1) % m]];
+      double pa[3] = {vx[ja], vy[ja], vz[ja]};
+      double pb[3] = {vx[jb], vy[jb], vz[jb]};
+      add_tet_moments(fcen, pa, pb, cen, &out);
+    }
+  }
+  return out;
+}
+
+struct Moments2 {
+  double v = 0, m1[2] = {0, 0}, m2[3] = {0, 0, 0};  // xx, yy, xy
+};
+
+inline void add_tri_moments(const double* a, const double* b, const double* c,
+                            Moments2* out) {
+  double area = 0.5 * std::fabs((b[0] - a[0]) * (c[1] - a[1]) -
+                                (c[0] - a[0]) * (b[1] - a[1]));
+  if (area <= 0) return;
+  out->v += area;
+  double s0 = a[0] + b[0] + c[0];
+  double s1 = a[1] + b[1] + c[1];
+  out->m1[0] += area * s0 / 3.0;
+  out->m1[1] += area * s1 / 3.0;
+  const double f = area / 12.0;  // 1/((d+1)(d+2)) = 1/12 for d = 2
+  double pxx = a[0] * a[0] + b[0] * b[0] + c[0] * c[0];
+  double pyy = a[1] * a[1] + b[1] * b[1] + c[1] * c[1];
+  double pxy = a[0] * a[1] + b[0] * b[1] + c[0] * c[1];
+  out->m2[0] += f * (pxx + s0 * s0);
+  out->m2[1] += f * (pyy + s1 * s1);
+  out->m2[2] += f * (pxy + s0 * s1);
+}
+
+Moments2 intersect_moments_2d(const Plane2* planes_in, int np_in, double tol) {
+  Moments2 out;
+  Plane2 planes[2 * kMaxPlanes];
+  int np = dedup_planes_2d(planes_in, np_in, planes, tol);
+  double vx[128], vy[128];
+  int nvert = 0;
+  for (int a = 0; a < np && nvert < 128; ++a)
+    for (int b = a + 1; b < np && nvert < 128; ++b) {
+      double det = planes[a].n[0] * planes[b].n[1] - planes[a].n[1] * planes[b].n[0];
+      if (std::fabs(det) < 1e-12) continue;
+      double x = (planes[a].d * planes[b].n[1] - planes[a].n[1] * planes[b].d) / det;
+      double y = (planes[a].n[0] * planes[b].d - planes[a].d * planes[b].n[0]) / det;
+      bool inside = true;
+      for (int k = 0; k < np; ++k)
+        if (planes[k].n[0] * x + planes[k].n[1] * y > planes[k].d + tol) {
+          inside = false;
+          break;
+        }
+      if (inside) { vx[nvert] = x; vy[nvert] = y; ++nvert; }
+    }
+  if (nvert < 3) return out;
+  double cx = 0, cy = 0;
+  for (int i = 0; i < nvert; ++i) { cx += vx[i]; cy += vy[i]; }
+  cx /= nvert; cy /= nvert;
+  double ang[128];
+  int order[128];
+  for (int i = 0; i < nvert; ++i) {
+    ang[i] = std::atan2(vy[i] - cy, vx[i] - cx);
+    order[i] = i;
+  }
+  std::sort(order, order + nvert, [&](int a, int b) { return ang[a] < ang[b]; });
+  double cen[2] = {cx, cy};
+  for (int i = 0; i < nvert; ++i) {
+    int a = order[i], b = order[(i + 1) % nvert];
+    double pa[2] = {vx[a], vy[a]};
+    double pb[2] = {vx[b], vy[b]};
+    add_tri_moments(cen, pa, pb, &out);
+  }
+  return out;
+}
+
 double intersect_area_2d(const Plane2* planes_in, int np_in, double tol) {
   Plane2 planes[2 * kMaxPlanes];
   int np = dedup_planes_2d(planes_in, np_in, planes, tol);
@@ -439,6 +624,66 @@ int64_t mortar_p0_couple(const double* verts1, const int64_t* conn1,
           out_i[count] = e1;
           out_j[count] = e2;
           out_v[count] = vol;
+        }
+        ++count;
+      }
+    }
+  }
+  return (count <= max_out) ? count : -count;
+}
+
+// Mortar coupling with full intersection moments: per pair emits volume,
+// first moments (dim values) and second moments (dim*(dim+1)/2 values:
+// 3D xx,yy,zz,xy,xz,yz; 2D xx,yy,xy). These are exactly the integrals
+// needed to assemble ANY product of affine factors over the intersection -
+// the composite-quadrature replacement powering the P1 (higher-order L2)
+// and RT0 (VectorL2) mortar integrators.
+int64_t mortar_moments_couple(const double* verts1, const int64_t* conn1,
+                              int64_t ne1, const double* verts2,
+                              const int64_t* conn2, int64_t ne2, int32_t nv1,
+                              int32_t nv2, int32_t dim, double tol,
+                              int64_t* out_i, int64_t* out_j, double* out_v,
+                              double* out_m1, double* out_m2,
+                              int64_t max_out) {
+  HashGrid grid;
+  grid.build(verts2, conn2, nv2, dim, ne2);
+  int64_t count = 0;
+  std::vector<int64_t> cands;
+  double lo1[3], hi1[3], lo2[3], hi2[3];
+  std::vector<Plane3> p3(2 * kMaxPlanes);
+  std::vector<Plane2> p2(2 * kMaxPlanes);
+  const int nm2 = (dim == 3) ? 6 : 3;
+  for (int64_t e1 = 0; e1 < ne1; ++e1) {
+    element_aabb(verts1, conn1, nv1, dim, e1, lo1, hi1);
+    grid.query(lo1, hi1, &cands);
+    int np1 = 0;
+    if (dim == 3) np1 = element_planes_3d(verts1, conn1, nv1, e1, p3.data());
+    else np1 = element_planes_2d(verts1, conn1, nv1, e1, p2.data());
+    for (int64_t e2 : cands) {
+      element_aabb(verts2, conn2, nv2, dim, e2, lo2, hi2);
+      if (!aabb_overlap(lo1, hi1, lo2, hi2, dim, tol)) continue;
+      double vol = 0.0;
+      double m1[3] = {0, 0, 0}, m2[6] = {0, 0, 0, 0, 0, 0};
+      if (dim == 3) {
+        int np2 = element_planes_3d(verts2, conn2, nv2, e2, p3.data() + np1);
+        Moments3 mm = intersect_moments_3d(p3.data(), np1 + np2, tol);
+        vol = mm.v;
+        std::memcpy(m1, mm.m1, sizeof(mm.m1));
+        std::memcpy(m2, mm.m2, sizeof(mm.m2));
+      } else {
+        int np2 = element_planes_2d(verts2, conn2, nv2, e2, p2.data() + np1);
+        Moments2 mm = intersect_moments_2d(p2.data(), np1 + np2, tol);
+        vol = mm.v;
+        std::memcpy(m1, mm.m1, sizeof(mm.m1));
+        std::memcpy(m2, mm.m2, sizeof(mm.m2));
+      }
+      if (vol > tol) {
+        if (count < max_out) {
+          out_i[count] = e1;
+          out_j[count] = e2;
+          out_v[count] = vol;
+          for (int d = 0; d < dim; ++d) out_m1[count * dim + d] = m1[d];
+          for (int k = 0; k < nm2; ++k) out_m2[count * nm2 + k] = m2[k];
         }
         ++count;
       }
