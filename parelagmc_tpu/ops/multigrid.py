@@ -43,23 +43,47 @@ class MGHierarchy(NamedTuple):
     coarse_sweeps: int  # 0 => dense solve; else Jacobi sweeps at coarsest
 
 
+def _spectral_omega(A, dinv: np.ndarray, iters: int = 30) -> float:
+    """1 / lambda_max(D^{-1} A) by host power iteration: guarantees the
+    damped-Jacobi smoother is a contraction (eigenvalues of omega D^{-1}A
+    in (0, 1]), hence an SPD V-cycle - essential for operators whose
+    diagonally-scaled spectrum exceeds 2 (e.g. divergence-dominated
+    reduced H(div) systems, where a fixed 0.7 makes the cycle indefinite
+    and CG breaks down)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        y = dinv * (A @ x)
+        lam = float(np.linalg.norm(y))
+        if lam <= 0:
+            return 1.0
+        x = y / lam
+    return 1.0 / (1.05 * lam)  # small safety margin
+
+
 def build_mg_hierarchy(
     mats,  # list of scipy sparse per level, [0] = finest
     prolongators,  # list of scipy sparse, P[l]: level l+1 -> level l
     dtype=jnp.float32,
-    omega: float = 0.7,
+    omega=0.7,  # float, or "spectral" for per-level 1/lambda_max damping
     coarse_sweeps: int = 0,  # 0: dense coarsest inverse; >0: Jacobi sweeps
 ) -> MGHierarchy:
+    spectral = omega == "spectral"
     levels = []
     for l in range(len(mats) - 1):
         A = mats[l].tocsr()
         d = np.asarray(A.diagonal())
         d = np.where(d == 0.0, 1.0, d)
+        dinv = 1.0 / d
+        if spectral:
+            # Fold the per-level damping into inv_diag (global omega = 1).
+            dinv = dinv * _spectral_omega(A, dinv)
         P = prolongators[l].tocsr()
         levels.append(
             MGLevel(
                 A=pack_csr_to_ell(A, dtype),
-                inv_diag=jnp.asarray(1.0 / d, dtype=dtype),
+                inv_diag=jnp.asarray(dinv, dtype=dtype),
                 P=pack_csr_to_ell(P, dtype),
                 Pt=pack_csr_to_ell(P.T.tocsr(), dtype),
             )
@@ -71,12 +95,15 @@ def build_mg_hierarchy(
         coarse_inv = np.linalg.inv(Ac.toarray())
     dc = np.asarray(Ac.diagonal())
     dc = np.where(dc == 0.0, 1.0, dc)
+    dcinv = 1.0 / dc
+    if spectral and coarse_sweeps > 0:
+        dcinv = dcinv * _spectral_omega(Ac, dcinv)
     return MGHierarchy(
         levels=tuple(levels),
         coarse_A=pack_csr_to_ell(Ac, dtype),
         coarse_inv=jnp.asarray(coarse_inv, dtype=dtype),
-        omega=omega,
-        coarse_inv_diag=jnp.asarray(1.0 / dc, dtype=dtype),
+        omega=1.0 if spectral else omega,
+        coarse_inv_diag=jnp.asarray(dcinv, dtype=dtype),
         coarse_sweeps=int(coarse_sweeps),
     )
 

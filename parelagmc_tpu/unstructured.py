@@ -196,8 +196,23 @@ class UnstructuredSPDESampler(MLSampler):
                 Zc = sp.diags((~ess_list[l + 1]).astype(np.float64))
                 P_masked.append((Zf @ P @ Zc).tocsr())
             for l in range(self.hierarchy.nlevels - 1):
+                # GALERKIN coarse operators (RAP of the fine assembled A):
+                # the assembled coarse systems are NOT variationally
+                # consistent with these transfers - the reduced system's
+                # B^T W^{-1} B term projects to B_c^T (P_l2^T W^{-1} P_l2)
+                # B_c, which differs from the assembled W_c^{-1} scaling by
+                # the agglomerate cell count; using assembled coarse mats
+                # makes the V-cycle diverge on agglomerated hierarchies.
+                mats = [A_csr[l]]
+                for P in P_masked[l:]:
+                    Ac = (P.T @ mats[-1] @ P).tocsr()
+                    # Re-pin eliminated coarse dofs (zero rows after RAP).
+                    dz = np.asarray(Ac.diagonal()) == 0.0
+                    if dz.any():
+                        Ac = Ac + sp.diags(dz.astype(np.float64))
+                    mats.append(Ac)
                 self._mg[l] = build_mg_hierarchy(
-                    A_csr[l:], P_masked[l:], dtype,
+                    mats, P_masked[l:], dtype, omega="spectral",
                     coarse_sweeps=self.solver_cfg.mg_coarse_sweeps,
                 )
         # P_l2^T restrictions as ELLs (coarse rows <- fine entries).
@@ -649,8 +664,17 @@ class UnstructuredDarcySolver:
                 for l in range(self.hierarchy.nlevels - 1)
             ]
             for l in range(self.hierarchy.nlevels - 1):
+                # Galerkin RAP coarse Schur operators (see the sampler MG
+                # note above on variational consistency).
+                mats = [sbar_csr[l]]
+                for P in p_l2[l:]:
+                    Sc = (P.T @ mats[-1] @ P).tocsr()
+                    dz = np.asarray(Sc.diagonal()) == 0.0
+                    if dz.any():
+                        Sc = Sc + sp.diags(dz.astype(np.float64))
+                    mats.append(Sc)
                 self._schur_mg[l] = build_mg_hierarchy(
-                    sbar_csr[l:], p_l2[l:], dtype,
+                    mats, p_l2[l:], dtype, omega="spectral",
                     coarse_sweeps=self.solver_cfg.mg_coarse_sweeps,
                 )
 
