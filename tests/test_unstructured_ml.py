@@ -263,6 +263,7 @@ def test_eval_pair_and_solve_pair_match_cold_unstructured():
     are pure iteration optimizations: fields and QoIs match the cold path
     to solver tolerance, with no more iterations than cold."""
     import jax
+    import jax.numpy as jnp
 
     from parelagmc_tpu.config import ProblemConfig
     from parelagmc_tpu.fem.simplicial_hierarchy import build_simplicial_hierarchy
