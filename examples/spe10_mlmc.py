@@ -61,6 +61,16 @@ def main(argv=None):
         # Full 60x220x85 grid; odd z-counts coarsen by merging the trailing
         # layer into the last coarse cell (non-dyadic derefinement).
         kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
+        # Full-grid duration guards (see CLAUDE.md): split each pair step
+        # into two device programs, cap Krylov iterations per execution and
+        # continue unconverged solves across bounded segments. Local
+        # sqrt(w)-scaled MG: the global geometric-mean scale leaves CG
+        # nearly unpreconditioned on SPE10-contrast lognormal fields.
+        cfg.split_pair_programs = True
+        cfg.solve_segments = 6
+        cfg.darcy_solver.max_iterations = 80
+        cfg.darcy_solver.relative_tolerance = 1e-4
+        cfg.darcy_solver.local_schur_scaling = True
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
     mgr.init_run([cfg.initial_samples] * cfg.nlevels)

@@ -40,6 +40,11 @@ def main(argv=None):
         i = argv.index("--out")
         out_file = argv[i + 1]
         del argv[i : i + 2]
+    darcy_solver = "cg-schur"  # kinv-aware MG on S_bar at SPE10 scale
+    if "--darcy-solver" in argv:
+        i = argv.index("--darcy-solver")
+        darcy_solver = argv[i + 1]
+        del argv[i : i + 2]
     cfg = parse_config(
         argv,
         mesh="spe10",
@@ -48,15 +53,46 @@ def main(argv=None):
         initial_samples=64,
         batch_size=64,
     )
+    cfg.darcy_solver.name = darcy_solver
+    # Duration guard: the TPU worker kills single executions past ~1-2
+    # minutes (see CLAUDE.md); 80 Krylov iterations at level 0 (~45s) stay
+    # inside it, and unconverged solves continue across up to `segments`
+    # bounded executions (warm-restarted; measured residual trajectory
+    # 3.6e-2 -> 5.4e-4 over 6 segments on real SPE10 samples). Local
+    # sqrt(w)-scaled MG: the global geometric-mean scale leaves CG nearly
+    # unpreconditioned on SPE10-contrast lognormal fields.
+    cfg.darcy_solver.max_iterations = 80
+    cfg.darcy_solver.relative_tolerance = 1e-4
+    cfg.darcy_solver.local_schur_scaling = True
+    segments = 6
     kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
     prob = build_problem(cfg, kinv_ref=kinv)
     sampler, solver = prob.sampler, prob.solver
-    batch = cfg.batch_size
     key = jax.random.PRNGKey(cfg.seed)
-    reps = max(1, cfg.initial_samples // batch)
+    dt_bytes = 4 if cfg.dtype == "float32" else 8
 
-    def timed(step, label):
-        f = jit_hoisted(step, key)
+    def level_batch(level):
+        """Cap the per-level batch so the coupled pair step fits in HBM.
+
+        The finest SPE10 level holds ~4.5M Darcy dofs; the warm-started
+        pair solve keeps O(tens) of live field vectors per sample (Krylov
+        basis + MG workspace + coupled coarse system), so batch 64 at
+        level 0 exceeds the 16G chip (measured: 23.9G requested). Real
+        MLMC allocates few samples to the finest level anyway (N_l ~
+        Var/cost), so a smaller fine-level batch matches the estimator's
+        own schedule. Budget: 10G / (40 vectors * dofs * dtype). Measured
+        pair-step footprints on the 16G v5e: batch 64 -> 23.9G, batch 16
+        -> 15.84G (i.e. ~13G program-fixed + ~170MB/sample); batch 8 is
+        the largest power of two that compiles at level 0."""
+        per_sample = 40 * solver.num_dofs(level) * dt_bytes
+        cap = max(8, int(10e9 / per_sample))
+        return min(cfg.batch_size, 1 << (cap.bit_length() - 1))
+
+    def timed(step, label, batch, prejitted=False, max_reps=None):
+        reps = max(1, cfg.initial_samples // batch)
+        if max_reps is not None:
+            reps = min(reps, max_reps)
+        f = step if prejitted else jit_hoisted(step, key)
         t0 = time.perf_counter()
         np.asarray(f(key)[0])
         compile_s = time.perf_counter() - t0
@@ -82,8 +118,7 @@ def main(argv=None):
         "config": {
             "mesh": "spe10 60x220x85 (20x10x2 ft)",
             "nlevels": cfg.nlevels,
-            "batch": batch,
-            "samples_per_measurement": reps * batch,
+            "batch": cfg.batch_size,
             "dtype": cfg.dtype,
             "correlation_length_ft": cfg.correlation_length,
             "darcy_solver": cfg.darcy_solver.name,
@@ -92,45 +127,87 @@ def main(argv=None):
         },
         "levels": [],
     }
-    print(f"-- SPE10 performance: {cfg.nlevels} levels, batch {batch}")
+    print(f"-- SPE10 performance: {cfg.nlevels} levels, batch {cfg.batch_size}")
     for level in range(cfg.nlevels):
+        batch = level_batch(level)
         row = {
             "level": level,
             "stoch_dofs": int(sampler.sample_size(level)),
             "darcy_dofs": int(solver.num_dofs(level)),
             "darcy_nnz": int(solver.nnz(level)),
+            "batch": batch,
         }
         print(
             f"level {level}: sampler dofs {row['stoch_dofs']}, "
-            f"darcy dofs {row['darcy_dofs']}, nnz {row['darcy_nnz']}"
+            f"darcy dofs {row['darcy_dofs']}, nnz {row['darcy_nnz']}, "
+            f"batch {batch}"
         )
 
-        def sample_eval(k, level=level):
+        def sample_eval(k, level=level, batch=batch):
             s = sampler.eval(level, sampler.sample(level, k, batch))
             # Per-sample reduction: fetch O(batch) scalars, not the O(n_s)
             # field - the tunnel transfer would otherwise dominate timing.
             return jnp.mean(s, axis=-1), jnp.zeros(())
 
-        row["sample_eval"] = timed(sample_eval, "Sample+Eval")
+        row["sample_eval"] = timed(sample_eval, "Sample+Eval", batch)
 
         if level < cfg.nlevels - 1:
+            # The coupled pair runs as TWO device programs (coarse solve,
+            # then warm-started fine solve): one composed execution at
+            # 4.5M dofs exceeds the TPU worker's execution-duration limit
+            # (see CLAUDE.md). The intermediate (s_f, p_c) stays on device.
 
-            def pair(k, level=level):
+            def pair_coarse(k, level=level, batch=batch):
                 xi = sampler.sample(level, k, batch)
                 s_f = sampler.eval(level, xi)
                 s_c = sampler.eval(level + 1, xi, xi_level=level)
-                q, qc, i_f, i_c = solver.solve_fwd_pair(level, s_f, s_c)
-                return q - qc, i_f.iterations + i_c.iterations
+                qc, _, i_c, p_c = solver.solve_fwd(
+                    level + 1, s_c, return_pressure=True
+                )
+                return s_f, p_c, qc, i_c.iterations
 
-            row["mlmc_pair"] = timed(pair, "MLMC pair (coupled+Darcy)")
+            def pair_fine(s_f, p_c, level=level):
+                q, _, i_f, p = solver.solve_fwd_warm(
+                    level, s_f, p_c, return_pressure=True
+                )
+                return q, i_f.iterations, i_f.converged, p
+
+            def pair_cont(s_f, p_prev, level=level):
+                q, _, i_f, p = solver.solve_fwd_x0(
+                    level, s_f, p_prev, return_pressure=True
+                )
+                return q, i_f.iterations, i_f.converged, p
+
+            f1 = jit_hoisted(pair_coarse, key)
+            ex = f1(key)
+            f2 = jit_hoisted(pair_fine, ex[0], ex[1])
+            ex2 = f2(ex[0], ex[1])
+            f3 = jit_hoisted(pair_cont, ex[0], ex2[3]) if segments > 1 else None
+
+            def pair(k):
+                s_f, p_c, qc, it_c = f1(k)
+                q, it_f, conv, p = f2(s_f, p_c)
+                iters = it_f + it_c
+                for _ in range(segments - 1):
+                    if bool(np.asarray(conv).all()):
+                        break
+                    q, it_f, conv, p = f3(s_f, p)
+                    iters = iters + it_f
+                return q - qc, iters
+
+            # Level-0 pair solves are minutes each (segmented ~500-iteration
+            # MG-CG at 4.5M dofs); 2 measured reps bound the harness runtime.
+            row["mlmc_pair"] = timed(pair, "MLMC pair (coupled+Darcy)", batch,
+                                     prejitted=True,
+                                     max_reps=2 if level == 0 else None)
         else:
 
-            def single(k, level=level):
+            def single(k, level=level, batch=batch):
                 s = sampler.eval(level, sampler.sample(level, k, batch))
                 q, _, info = solver.solve_fwd(level, s)
                 return q, info.iterations
 
-            row["mlmc_pair"] = timed(single, "coarsest Q (Darcy)")
+            row["mlmc_pair"] = timed(single, "coarsest Q (Darcy)", batch)
         evidence["levels"].append(row)
 
     with open(out_file, "w") as f:

@@ -181,6 +181,16 @@ class ProblemConfig:
     # Batching / devices.
     batch_size: int = 32
     dtype: str = "float32"  # device dtype; host verification can use float64
+    # Run each MLMC pair step as TWO device programs (coarse solve, then
+    # warm-started fine solve) instead of one composed program. Needed at
+    # SPE10 scale: a single composed execution at ~4.5M dofs exceeds the
+    # TPU worker's execution-duration limit (see CLAUDE.md). Statistically
+    # identical to the composed step (same RNG stream, same warm start).
+    split_pair_programs: bool = False
+    # With split_pair_programs: continue an unconverged fine solve for up
+    # to this many bounded executions (darcy_solver.max_iterations each),
+    # chaining the pressure iterate through warm restarts.
+    solve_segments: int = 1
     seed: int = 0
 
     # Solvers.

@@ -83,8 +83,12 @@ def pcg(
         x = x + alpha * p
         r = r - alpha * Ap
         if restart_every > 0:
+            # lax.cond, not jnp.where: the true-residual recompute must only
+            # execute on restart iterations (an extra apply_A every iteration
+            # would double the loop cost - and at SPE10 scale push single
+            # executions past the TPU worker's duration limit, see CLAUDE.md).
             do_restart = (it + 1) % restart_every == 0
-            r = jnp.where(do_restart, b - apply_A(x), r)
+            r = jax.lax.cond(do_restart, lambda: b - apply_A(x), lambda: r)
         z = prec(r)
         rz_new = _vdot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)

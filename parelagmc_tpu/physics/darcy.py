@@ -73,6 +73,7 @@ class DarcyLevel(NamedTuple):
     mass_solver: MassTridiagSolver  # exact M(w)^{-1} (tensor-grid tridiagonals)
     schur_mg: object  # Optional[MGHierarchy]: kinv-aware Schur preconditioner
     sbar_dinv: object  # Optional[(n_s,)]: 1/diag(S_bar) (cg-schur-diag variant)
+    kinv_cell: object = None  # Optional[(n_s,)]: per-cell geomean of kinv_ref
 
 
 def _assemble_sbar(mesh, kinv, ess_attr):
@@ -273,7 +274,8 @@ class DarcySolver:
                             coarse_sweeps=config.darcy_solver.mg_coarse_sweeps,
                         )
                         if kinv_levels[l] is not None
-                        and config.darcy_solver.name != "cg-schur-diag"
+                        and config.darcy_solver.name
+                        not in ("cg-schur-diag", "cg-schur-exact")
                         else None
                     ),
                     sbar_dinv=(
@@ -289,6 +291,19 @@ class DarcySolver:
                         )
                         if kinv_levels[l] is not None
                         and config.darcy_solver.name == "cg-schur-diag"
+                        else None
+                    ),
+                    kinv_cell=(
+                        jnp.asarray(
+                            np.exp(
+                                np.mean(
+                                    np.log(np.maximum(kinv_levels[l], 1e-300)),
+                                    axis=1,
+                                )
+                            ),
+                            dtype=dtype,
+                        )
+                        if kinv_levels[l] is not None
                         else None
                     ),
                 )
@@ -408,6 +423,11 @@ class DarcySolver:
           spectral solver.
         * "minres-bj": block-diagonal preconditioned MINRES on the full
           saddle system (the reference's MINRES-BJ-GS analog).
+        * "cg-schur-diag" / "cg-schur-exact": with a static kinv_ref,
+          select the diag(S_bar) / exact-S(1)-tensor preconditioner
+          instead of the kinv-aware MG ("cg-schur" default with kinv).
+          Combine "cg-schur-exact" with local_schur_scaling=True for the
+          per-cell sqrt(w*kinv) symmetric scaling.
         """
         L = self.levels[level]
         if self.solver_cfg.name == "minres-bj":
@@ -422,17 +442,52 @@ class DarcySolver:
         src/PDESampler.cpp:451-516: SetInitialIterate of the prolongated
         solution). Returns (q_fine, q_coarse, info_fine, info_coarse)."""
         qc, _, info_c, p_c = self.solve_fwd(level + 1, w_c, return_pressure=True)
+        q, _, info_f = self.solve_fwd_warm(level, w_f, p_c)
+        return q, qc, info_f, info_c
+
+    def solve_fwd_warm(
+        self,
+        level: int,
+        w: jnp.ndarray,
+        p_coarse: jnp.ndarray,
+        return_pressure: bool = False,
+    ):
+        """Fine solve warm-started from the level+1 physical pressure (as
+        returned by solve_fwd(..., return_pressure=True)). Exposed
+        separately from solve_fwd_pair so SPE10-scale callers can run the
+        coarse and fine solves as TWO device programs: a single composed
+        execution at 4.5M dofs exceeds the TPU worker's execution-duration
+        limit (see CLAUDE.md). Returns (Q, cost, info[, p])."""
         # P0 prolongation: fine cell takes its parent's physical pressure
         # (exact piecewise-constant embedding); _solve_cg_schur converts to
         # its internal p~ = -p convention.
-        p0 = jnp.take(p_c, self._parent_dev[level], axis=-1)
+        p0 = jnp.take(p_coarse, self._parent_dev[level], axis=-1)
         if self.solver_cfg.name == "minres-bj":
-            q, _, info_f = self.solve_fwd(level, w_f)
-            return q, qc, info_f, info_c
-        q, _, info_f = self._solve_cg_schur(
-            self.levels[level], w_f, return_pressure=False, x0=p0
+            return self.solve_fwd(level, w, return_pressure=return_pressure)
+        return self._solve_cg_schur(
+            self.levels[level], w, return_pressure=return_pressure, x0=p0
         )
-        return q, qc, info_f, info_c
+
+    def solve_fwd_x0(
+        self,
+        level: int,
+        w: jnp.ndarray,
+        p0: jnp.ndarray,
+        return_pressure: bool = False,
+    ):
+        """Continue/restart the level solve from a SAME-level physical
+        pressure iterate (as returned with return_pressure=True). Segment
+        long Krylov solves across device executions: chain
+        solve_fwd_x0(level, w, p_prev) until info.converged - each call is
+        one bounded execution (max_iterations), sidestepping the TPU
+        worker's execution-duration limit at SPE10 scale (CLAUDE.md).
+        CG restarts at segment boundaries cost little: float32 runs
+        restart the direction every restart_every iterations anyway."""
+        if self.solver_cfg.name == "minres-bj":
+            return self.solve_fwd(level, w, return_pressure=return_pressure)
+        return self._solve_cg_schur(
+            self.levels[level], w, return_pressure=return_pressure, x0=p0
+        )
 
     def _solve_cg_schur(
         self,
@@ -452,19 +507,34 @@ class DarcySolver:
             w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
             prec = lambda r: w_bar * (r * L.sbar_dinv)
         elif L.schur_mg is not None:
-            # kinv-aware geometric MG on S_bar; the per-sample lognormal
-            # multiplier contributes only its geometric-mean scale.
+            # kinv-aware geometric MG on S_bar.
             from parelagmc_tpu.ops.multigrid import v_cycle
 
-            w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
-            prec = lambda r: w_bar * v_cycle(L.schur_mg, r)
+            if self.solver_cfg.local_schur_scaling:
+                # Symmetric per-cell scaling of the static MG:
+                # S(w*kinv)^{-1} ~ D(w)^{1/2} S(kinv)^{-1} D(w)^{1/2}
+                # (exact for constant w). Captures the sample's LOCAL
+                # amplitude - on SPE10-scale lognormal fields the global
+                # geometric mean leaves CG nearly unpreconditioned.
+                sw = jnp.sqrt(w)
+                prec = lambda r: sw * v_cycle(L.schur_mg, sw * r)
+            else:
+                # Per-sample lognormal multiplier contributes only its
+                # geometric-mean scale.
+                w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
+                prec = lambda r: w_bar * v_cycle(L.schur_mg, r)
         elif self.solver_cfg.local_schur_scaling:
             # Symmetric LOCAL scaling of the exact reference Schur inverse:
             # S(w)^{-1} ~ diag(w)^{1/2} S(1)^{-1} diag(w)^{1/2} (exact for
             # constant w, first-order in the local log-field otherwise) -
             # captures the per-cell amplitude the global geometric mean
             # misses, at the cost of two elementwise multiplies.
-            sw = jnp.sqrt(w) * jnp.exp(0.5 * L.kinv_logmean)
+            k_loc = (
+                L.kinv_cell
+                if L.kinv_cell is not None
+                else jnp.exp(jnp.asarray(L.kinv_logmean, dtype=w.dtype))
+            )
+            sw = jnp.sqrt(w * k_loc)
             prec = lambda r: sw * tensor_solve(L.schur, sw * r)
         else:
             w_bar = jnp.exp(

@@ -153,6 +153,17 @@ class MLMCManager:
                     sampler.eval(level + 1, xi, xi_level=level),
                 )
 
+            split = (
+                getattr(self.config, "split_pair_programs", False)
+                and self.sharding is None
+                and hasattr(solver, "solve_fwd_warm")
+            )
+            if split:
+                # Two device programs per pair step (execution-duration
+                # guard at SPE10 scale; see config.split_pair_programs).
+                # The intermediate (s_f, p_c) stays on device; the RNG
+                # stream and warm start match the composed step exactly.
+                return self._build_split_step(level, batch, eval_fields)
             if hasattr(solver, "solve_fwd_pair"):
 
                 def step(key):
@@ -183,6 +194,69 @@ class MLMCManager:
 
         self._steps[level] = jit_hoisted(step, self._key)
         return self._steps[level]
+
+    def _build_split_step(self, level: int, batch: int, eval_fields) -> Callable:
+        """Pair step as two hoisted jits: stage 1 samples the coupled fields
+        and solves the coarse problem; stage 2 warm-starts the fine solve
+        from the prolongated coarse pressure. Device-to-device handoff, no
+        host round-trip of fields."""
+        import jax.numpy as jnp
+
+        from parelagmc_tpu.ops.jit_utils import jit_hoisted
+
+        sampler, solver = self.sampler, self.solver
+
+        def stage1(key):
+            xi = sampler.sample(level, key, batch)
+            s_f, s_c = eval_fields(xi)
+            qc, _, info_c, p_c = solver.solve_fwd(
+                level + 1, s_c, return_pressure=True
+            )
+            return s_f, p_c, qc, info_c.iterations
+
+        def stage2(s_f, p_c):
+            q, _, info_f, p = solver.solve_fwd_warm(
+                level, s_f, p_c, return_pressure=True
+            )
+            return q, info_f.iterations, info_f.converged, p
+
+        def stage_cont(s_f, p_prev):
+            q, _, info_f, p = solver.solve_fwd_x0(
+                level, s_f, p_prev, return_pressure=True
+            )
+            return q, info_f.iterations, info_f.converged, p
+
+        segments = max(1, int(getattr(self.config, "solve_segments", 1)))
+        j1 = jit_hoisted(stage1, self._key)
+        dtype = getattr(solver, "dtype", jnp.float32)
+        ex_sf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
+        ex_pc = jax.ShapeDtypeStruct((batch, solver.levels[level + 1].n_s), dtype)
+        j2 = jit_hoisted(stage2, ex_sf, ex_pc)
+        ex_pf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
+        j3 = jit_hoisted(stage_cont, ex_sf, ex_pf) if segments > 1 else None
+
+        def step(key):
+            s_f, p_c, qc, it_c = j1(key)
+            q, it_f, conv, p = j2(s_f, p_c)
+            iters = it_f + it_c
+            for _ in range(segments - 1):
+                # Host-side convergence check between bounded executions
+                # (one int fetch; negligible vs the solve itself).
+                if bool(np.asarray(conv).all()):
+                    break
+                q, it_f, conv, p = j3(s_f, p)
+                iters = iters + it_f
+            return q, qc, jnp_broadcast_iters(iters, batch)
+
+        def aot_compile():
+            j1.aot_compile()
+            j2.aot_compile()
+            if j3 is not None:
+                j3.aot_compile()
+
+        step.aot_compile = aot_compile
+        self._steps[level] = step
+        return step
 
     def _next_key(self, level: int):
         self._counter += 1

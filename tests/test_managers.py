@@ -90,3 +90,22 @@ def test_dofs_cost_model(tmp_path):
     # Cost equals accumulated dof counts per sample.
     assert mgr.cost[1] == solver.num_dofs(1)
     assert mgr.cost[0] == solver.num_dofs(0) + solver.num_dofs(1)
+
+
+def test_split_pair_programs_identical(tmp_path):
+    """config.split_pair_programs runs the pair step as two device programs
+    (SPE10-scale execution-duration guard); same RNG stream + warm start.
+    XLA fuses differently across the program boundary, so agreement is to
+    solver tolerance (rtol 1e-6 Krylov stop), not bitwise."""
+    TimeManager.reset()
+    results = []
+    for split in (False, True):
+        hier, sampler, solver, cfg = build_problem(
+            tmp_path=tmp_path, seed=7, split_pair_programs=split
+        )
+        mgr = MLMCManager(solver, sampler, cfg)
+        mgr.init_run([8, 8, 8])
+        results.append((mgr.eY.copy(), mgr.eQ.copy(), mgr.varY.copy()))
+        mgr.close()
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
