@@ -71,6 +71,9 @@ def main(argv=None):
         cfg.darcy_solver.max_iterations = 80
         cfg.darcy_solver.relative_tolerance = 1e-4
         cfg.darcy_solver.local_schur_scaling = True
+        # HBM-bound finest batch, MXU-sized coarse batches (16G v5e; the
+        # full grid's finest level is 4.5M Darcy dofs at any nlevels).
+        cfg.batch_size_per_level = [8] + [64] * (cfg.nlevels - 1)
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
     mgr.init_run([cfg.initial_samples] * cfg.nlevels)

@@ -180,6 +180,10 @@ class ProblemConfig:
 
     # Batching / devices.
     batch_size: int = 32
+    # Optional per-level batch sizes (finest first; overrides batch_size in
+    # the managers). At SPE10 scale the finest level is HBM-bound while
+    # coarse levels want large batches for MXU occupancy.
+    batch_size_per_level: Optional[List[int]] = None
     dtype: str = "float32"  # device dtype; host verification can use float64
     # Run each MLMC pair step as TWO device programs (coarse solve, then
     # warm-started fine solve) instead of one composed program. Needed at

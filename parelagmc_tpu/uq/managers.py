@@ -72,6 +72,23 @@ class MLMCManager:
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
         if sharding is not None:
             self.batch = sharding.round_batch(self.batch)
+        # Per-level batch sizes (finest first). At SPE10 scale the finest
+        # level's batch is HBM-bound (~8 at 4.5M dofs on a 16G chip) while
+        # coarse levels want large batches for MXU occupancy - and MLMC
+        # allocates most samples to coarse levels anyway.
+        self.level_batch = [self.batch] * self.nlevels
+        bpl = getattr(config, "batch_size_per_level", None)
+        if bpl:
+            if len(bpl) != self.nlevels:
+                raise ValueError(
+                    f"batch_size_per_level has {len(bpl)} entries for "
+                    f"{self.nlevels} levels"
+                )
+            self.level_batch = [int(b) for b in bpl]
+            if sharding is not None:
+                self.level_batch = [
+                    sharding.round_batch(b) for b in self.level_batch
+                ]
         self.eps2 = float(config.mse)
         self.auto_eps2 = self.eps2 < 0
         if self.auto_eps2:
@@ -130,7 +147,7 @@ class MLMCManager:
         if level in self._steps:
             return self._steps[level]
         sampler, solver = self.sampler, self.solver
-        batch = self.batch
+        batch = self.level_batch[level]
         if self.sharding is not None:
             batch = batch // self.sharding.n_devices
         if level == self.nlevels - 1:
@@ -273,7 +290,7 @@ class MLMCManager:
             n = int(nsamples[level])
             if n <= 0:
                 continue
-            nbatches = -(-n // self.batch)
+            nbatches = -(-n // self.level_batch[level])
             step = self._step(level)
             timer_name = f"MC Sample -- Level {level}"
             if level not in self._compiled:

@@ -109,3 +109,18 @@ def test_split_pair_programs_identical(tmp_path):
         mgr.close()
     for a, b in zip(results[0], results[1]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
+
+
+def test_batch_size_per_level(tmp_path):
+    """Per-level batch sizes: finest level HBM-bound, coarse levels large
+    (the SPE10-scale configuration). Sample counts round up to whole
+    per-level batches and the statistics stay sane."""
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(tmp_path=tmp_path, seed=11)
+    cfg.batch_size_per_level = [4, 8, 16]
+    mgr = MLMCManager(solver, sampler, cfg)
+    assert mgr.level_batch == [4, 8, 16]
+    mgr.init_run([8, 8, 8])
+    np.testing.assert_array_equal(mgr.level_nsamples, [8, 8, 16])
+    assert np.isfinite(mgr.eY).all() and np.isfinite(mgr.varY).all()
+    mgr.close()
