@@ -60,6 +60,21 @@ class BayesRatioManager:
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
         if sharding is not None:
             self.batch = sharding.round_batch(self.batch)
+        # Per-level batch sizes (finest first; cf. MLMCManager.level_batch:
+        # the finest level is HBM-bound at SPE10 scale).
+        self.level_batch = [self.batch] * self.nlevels
+        bpl = getattr(config, "batch_size_per_level", None)
+        if bpl:
+            if len(bpl) != self.nlevels:
+                raise ValueError(
+                    f"batch_size_per_level has {len(bpl)} entries for "
+                    f"{self.nlevels} levels"
+                )
+            self.level_batch = [int(b) for b in bpl]
+            if sharding is not None:
+                self.level_batch = [
+                    sharding.round_batch(b) for b in self.level_batch
+                ]
         self.eps2 = float(config.mse)
         self.auto_eps2 = self.eps2 < 0
         if self.auto_eps2:
@@ -103,7 +118,7 @@ class BayesRatioManager:
             return self._steps[level]
         prob = self.problem
         prior = prob.prior
-        batch = self.batch
+        batch = self.level_batch[level]
         if self.sharding is not None:
             batch = batch // self.sharding.n_devices
         coarsest = level == self.nlevels - 1
@@ -130,6 +145,49 @@ class BayesRatioManager:
                     prior.eval(level, xi),
                     prior.eval(level + 1, xi, xi_level=level),
                 )
+
+            split = (
+                getattr(self.config, "split_pair_programs", False)
+                and self.sharding is None
+            )
+            if split:
+                # Run the Z (likelihood) and R streams as two device
+                # programs: the composed four-solve step exceeds the TPU
+                # worker's execution-duration limit at SPE10 scale
+                # (CLAUDE.md). Same RNG stream as the composed step.
+                from parelagmc_tpu.ops.jit_utils import jit_hoisted
+
+                def z_stream(key):
+                    kz, _ = jax.random.split(key)
+                    zxi = prior.sample(level, kz, batch)
+                    kz_f, kz_c = eval_coupled(zxi)
+                    z, _ = prob.likelihood(level, kz_f)
+                    zc, _ = prob.likelihood(level + 1, kz_c)
+                    return z, zc
+
+                def r_stream(key):
+                    _, kr = jax.random.split(key)
+                    xi = prior.sample(level, kr, batch)
+                    kr_f, kr_c = eval_coupled(xi)
+                    r, _ = prob.compute_R(level, kr_f)
+                    rc, _ = prob.compute_R(level + 1, kr_c)
+                    return r, rc
+
+                jz = jit_hoisted(z_stream, self._key)
+                jr = jit_hoisted(r_stream, self._key)
+
+                def step(key):
+                    z, zc = jz(key)
+                    r, rc = jr(key)
+                    return r, rc, z, zc
+
+                def aot_compile():
+                    jz.aot_compile()
+                    jr.aot_compile()
+
+                step.aot_compile = aot_compile
+                self._steps[level] = step
+                return step
 
             def step(key):
                 kz, kr = jax.random.split(key)
@@ -163,7 +221,7 @@ class BayesRatioManager:
             n = int(nsamples[level])
             if n <= 0:
                 continue
-            nbatches = -(-n // self.batch)
+            nbatches = -(-n // self.level_batch[level])
             step = self._step(level)
             timer_name = f"Ratio MC Sample -- Level {level}"
             if level not in self._compiled:

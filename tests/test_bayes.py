@@ -125,3 +125,21 @@ def test_ratio_vs_splitting_agree(tmp_path):
     assert abs(m1.estimate - m2.estimate) < 0.5
     m1.close()
     m2.close()
+
+
+def test_ratio_split_programs_identical(tmp_path):
+    """split_pair_programs on the ratio manager (Z/R streams as separate
+    device programs) matches the composed step to solver tolerance (same
+    RNG stream; XLA fuses differently across the program boundary)."""
+
+    results = []
+    for split in (False, True):
+        hier, prob, cfg = build_problem(
+            tmp_path, nlevels=2, split_pair_programs=split, seed=13
+        )
+        mgr = BayesRatioManager(prob, cfg)
+        mgr.init_run([8] * mgr.nlevels)
+        results.append((mgr.E.copy(), mgr.varYR.copy(), mgr.varYZ.copy()))
+        mgr.close()
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
