@@ -108,6 +108,16 @@ class SolverConfig:
     mg_coarse_sweeps: int = 8  # 0: dense coarsest inverse; >0: Jacobi sweeps
     # (dense matmuls inside lax loop bodies crash the TPU worker at SPE10
     #  scale; Jacobi sweeps match the dense quality within a few iterations)
+    # Tridiagonal line relaxation along every strongly-coupled axis in the
+    # structured Schur MG (auto-detected per level: axes with >= 3x the
+    # weakest axis's mean coupling; alternating-direction when several
+    # engage). Decisive when ONE axis dominates (oracle: 45 -> 7 CG
+    # iterations on 10x z-refined grids). Measured on SPE10 itself the
+    # y/z couplings are BALANCED (the anisotropic kz cancels the 2 ft
+    # z-spacing), and the two-direction sweep converges 1.6x faster per
+    # iteration but costs 1.8x more (sequential Thomas-scan latency) - a
+    # net loss there, so it stays opt-in.
+    mg_line_smoother: bool = False
     # Multigrid options.
     smoother_iterations: int = 2
     chebyshev_order: int = 3

@@ -100,7 +100,15 @@ def _assemble_sbar(mesh, kinv, ess_attr):
     return (B @ sp.diags(dinv) @ B.T).tocsr()
 
 
-def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int, coarse_sweeps: int = 0):
+def _build_schur_mg(
+    mesh,
+    kinv,
+    ess_attr,
+    dtype,
+    cutoff: int,
+    coarse_sweeps: int = 0,
+    line_smoother: bool = False,
+):
     """Geometric multigrid hierarchy on S_bar: derefine below the MLMC level
     as far as needed, rediscretizing the coefficient by volume-weighted
     averaging, until the coarsest grid is dense-invertible. The TPU-native
@@ -140,7 +148,13 @@ def _build_schur_mg(mesh, kinv, ess_attr, dtype, cutoff: int, coarse_sweeps: int
                 shape=(meshes[l].num_cells, meshes[l + 1].num_cells),
             )
         )
-    return build_mg_hierarchy(mats, ps, dtype, coarse_sweeps=coarse_sweeps)
+    return build_mg_hierarchy(
+        mats,
+        ps,
+        dtype,
+        coarse_sweeps=coarse_sweeps,
+        line_shapes=[m.shape for m in meshes] if line_smoother else None,
+    )
 
 
 class DarcySolver:
@@ -272,6 +286,7 @@ class DarcySolver:
                             lvl.mesh, kinv_levels[l], ess_attr, dtype,
                             config.sampler_solver.coarse_dense_cutoff,
                             coarse_sweeps=config.darcy_solver.mg_coarse_sweeps,
+                            line_smoother=config.darcy_solver.mg_line_smoother,
                         )
                         if kinv_levels[l] is not None
                         and config.darcy_solver.name
