@@ -48,7 +48,10 @@ def main() -> None:
     # 300-iteration rtol-1e-6 reference on this config (local=1 maxit=50 ==
     # the accuracy of the old global-scaled 60-iteration budget) - well
     # inside the golden epsilon = 0.032 MLMC error target's sampling noise.
-    # rtol 1e-4 is the f32 Krylov floor.
+    # rtol 1e-4 is the f32 Krylov floor. (The per-sample Galerkin MG of
+    # ops/coef_multigrid.py converges in 5x fewer iterations but its
+    # gather-based V-cycle loses to the MXU tensor solve at 16^3 - measured
+    # 3155 vs 5438 samples/s - so it's the at-SCALE solver, not this one.)
     cfg.darcy_solver.relative_tolerance = 1e-4
     cfg.darcy_solver.max_iterations = 50
     cfg.darcy_solver.local_schur_scaling = True

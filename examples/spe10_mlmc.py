@@ -63,14 +63,14 @@ def main(argv=None):
         kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
         # Full-grid duration guards (see CLAUDE.md): split each pair step
         # into two device programs, cap Krylov iterations per execution and
-        # continue unconverged solves across bounded segments. Local
-        # sqrt(w)-scaled MG: the global geometric-mean scale leaves CG
-        # nearly unpreconditioned on SPE10-contrast lognormal fields.
+        # continue unconverged solves across bounded segments. The
+        # per-sample Galerkin MG (cg-schur-coefmg) converges level-0
+        # solves in ~31 iterations at 1e6 contrast - one segment.
         cfg.split_pair_programs = True
-        cfg.solve_segments = 6
-        cfg.darcy_solver.max_iterations = 80
+        cfg.solve_segments = 3
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.max_iterations = 60
         cfg.darcy_solver.relative_tolerance = 1e-4
-        cfg.darcy_solver.local_schur_scaling = True
         # HBM-bound finest batch, MXU-sized coarse batches (16G v5e; the
         # full grid's finest level is 4.5M Darcy dofs at any nlevels).
         cfg.batch_size_per_level = [8] + [64] * (cfg.nlevels - 1)

@@ -169,7 +169,10 @@ def build_geometric_hierarchy(
 def derefine_axis(axis: np.ndarray, factor: int = 2) -> np.ndarray:
     """Coarse axis: every `factor`-th grid line, always keeping the last
     (trailing cells merge into the final coarse cell when the count is not
-    divisible - how SPE10's 85 z-layers coarsen to 42)."""
+    divisible - how SPE10's 85 z-layers coarsen to 42). A 1-cell axis is
+    already as coarse as it gets and passes through unchanged."""
+    if axis.size <= 2:
+        return np.asarray(axis)
     coarse = list(axis[::factor])
     if coarse[-1] != axis[-1]:
         coarse[-1] = axis[-1]  # merge trailing fine cells into the last group

@@ -1,0 +1,237 @@
+"""Per-sample Galerkin multigrid on the pressure Schur complement.
+
+The reference rebuilds its AMG preconditioner from the actual sampled
+coefficient on every solve (hypre BoomerAMG setup per sample,
+/root/reference/src/DarcySolver.cpp:562-649). The static-hierarchy TPU
+analog (ops/multigrid.py built on kinv_ref only, sample entering through a
+global or per-cell scale) measurably under-preconditions rough lognormal
+samples. This module closes that gap TPU-natively: the ENTIRE coefficient
+dependence of the MG hierarchy reduces to static gather tables applied to
+one per-sample face vector.
+
+Key identity: with lowest-order RT0/P0 and a diagonal velocity-mass
+approximation, the pressure Schur complement is the face-form operator
+
+    S(w)[c, c'] = sum_f B[c,f] dinv_f(w) B[c',f],
+    dinv_f(w)   = 1 / diag(M(w * kinv))_f,
+
+and Galerkin coarsening with piecewise-constant aggregation P collapses
+EXACTLY to the same face-form operator on the coarse mesh with
+
+    dinv_F(w) = sum_{fine f crossing F} dinv_f(w)
+
+(faces interior to an agglomerate cancel; parallel crossing faces add).
+So one batched (batch, n_faces) vector per level - produced by a static
+padded gather-sum from the level above - IS the per-sample Galerkin
+hierarchy: per-sample smoother diagonals and coarse operators at gather
+cost, no assembly, no setup phase on device.
+
+All index tables are built on host at setup (CLAUDE.md convention); the
+device side is pure gathers + elementwise work. The V-cycle uses damped
+Jacobi smoothing with the per-sample diagonal (symmetric pre/post, fixed
+omega < 2/lambda_max: for these M-matrix stencils lambda_max(D^-1 S) < 2,
+so omega = 0.8 keeps the cycle an SPD preconditioner).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class CoefMGLevel(NamedTuple):
+    # Face-form operator tables in THIS level's numbering.
+    cell_faces: jnp.ndarray  # (n_c, 2d) int32, padded with 0
+    cell_signs: jnp.ndarray  # (n_c, 2d), 0.0 on padding
+    face_cells: jnp.ndarray  # (n_f, 2) int32
+    face_signs: jnp.ndarray  # (n_f, 2), 0.0 on padding / boundary
+    # Aggregation from the PREVIOUS (finer) level; None on level 0.
+    face_src: object = None  # (n_f, K) int32 fine-face ids
+    face_src_mask: object = None  # (n_f, K)
+    parent: object = None  # (n_c_prev,) int32 fine cell -> this level's cell
+    cell_src: object = None  # (n_c, Kc) int32 fine-cell ids
+    cell_src_mask: object = None  # (n_c, Kc)
+
+
+class CoefMG(NamedTuple):
+    levels: Tuple[CoefMGLevel, ...]
+    omega: float
+    coarse_sweeps: int
+
+
+# -- host construction --------------------------------------------------------
+
+
+def _pad_table(dst_ids: np.ndarray, src_ids: np.ndarray, n_dst: int):
+    """Invert a src->dst map into a padded (n_dst, K) gather table."""
+    order = np.argsort(dst_ids, kind="stable")
+    dst_s = dst_ids[order]
+    src_s = src_ids[order]
+    counts = np.bincount(dst_s, minlength=n_dst)
+    K = max(1, int(counts.max()) if counts.size else 1)
+    table = np.zeros((n_dst, K), dtype=np.int32)
+    mask = np.zeros((n_dst, K), dtype=np.float64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(dst_s.size) - starts[dst_s]
+    table[dst_s, slot] = src_s
+    mask[dst_s, slot] = 1.0
+    return table, mask
+
+
+def _face_map(fine, coarse) -> np.ndarray:
+    """(n_fine_faces,) coarse face id for each fine face, -1 when the fine
+    face is interior to a coarse cell (dropped by Galerkin cancellation).
+    Coarse grid lines must be a value-subset of fine ones (derefine_axis)."""
+    from parelagmc_tpu.fem.hierarchy import axis_parent_map
+
+    d = fine.dim
+    cmaps = [axis_parent_map(fine.axes[a], coarse.axes[a]) for a in range(d)]
+    out = np.full(int(fine.face_offsets[-1]), -1, dtype=np.int64)
+    for a in range(d):
+        fshape = fine.face_grid_shape(a)
+        grids = np.meshgrid(*[np.arange(s) for s in fshape], indexing="ij")
+        plane = fine.axes[a][grids[a]]
+        j = np.searchsorted(coarse.axes[a], plane)
+        j = np.clip(j, 0, coarse.axes[a].size - 1)
+        on = np.isclose(coarse.axes[a][j], plane)
+        cidx = [
+            j if x == a else cmaps[x][grids[x]] for x in range(d)
+        ]
+        fine_ids = fine.face_index(a, *grids)
+        coarse_ids = coarse.face_index(a, *cidx)
+        out[fine_ids[on]] = coarse_ids[on]
+    return out
+
+
+def build_coef_mg(
+    mesh,
+    ess_faces: np.ndarray,
+    dtype=jnp.float32,
+    cutoff: int = 5000,
+    coarse_sweeps: int = 8,
+    omega: float = 0.8,
+) -> CoefMG:
+    """Static index tables for the per-sample Galerkin Schur MG below the
+    given (MLMC-level) mesh. The per-sample values enter at apply time as
+    dinv0 (see coef_mg_dinvs); kinv/ess masking lives in dinv0's
+    definition (DarcySolver passes its masked mass diagonal)."""
+    from parelagmc_tpu.fem.assembly import build_mixed_level
+    from parelagmc_tpu.fem.hierarchy import axis_parent_map, derefine_axis
+    from parelagmc_tpu.mesh.structured import StructuredMesh
+
+    meshes = [mesh]
+    while meshes[-1].num_cells > cutoff and max(meshes[-1].shape) > 2:
+        meshes.append(
+            StructuredMesh([derefine_axis(a) for a in meshes[-1].axes])
+        )
+
+    levels = []
+    for l, m in enumerate(meshes):
+        lvl = build_mixed_level(m)
+        cell_signs = lvl.cell_signs.copy()
+        face_signs = lvl.face_signs.copy()
+        if l == 0:
+            # Essential faces drop out of S (their dinv is 0 in the masked
+            # mass diagonal); zero their signs too so padding stays inert.
+            face_signs[ess_faces, :] = 0.0
+            cell_signs = np.where(ess_faces[lvl.cell_faces], 0.0, cell_signs)
+            extra = {}
+        else:
+            fine_m = meshes[l - 1]
+            fmap = _face_map(fine_m, m)
+            valid = fmap >= 0
+            face_src, face_mask = _pad_table(
+                fmap[valid],
+                np.nonzero(valid)[0].astype(np.int64),
+                int(m.face_offsets[-1]),
+            )
+            d = fine_m.dim
+            cmaps = [
+                axis_parent_map(fine_m.axes[a], m.axes[a]) for a in range(d)
+            ]
+            idx = fine_m.cell_multi_index()
+            par = m.cell_index(*[cm[i] for cm, i in zip(cmaps, idx)])
+            cell_src, cell_mask = _pad_table(
+                par, np.arange(fine_m.num_cells, dtype=np.int64), m.num_cells
+            )
+            extra = dict(
+                face_src=jnp.asarray(face_src, dtype=jnp.int32),
+                face_src_mask=jnp.asarray(face_mask, dtype=dtype),
+                parent=jnp.asarray(par, dtype=jnp.int32),
+                cell_src=jnp.asarray(cell_src, dtype=jnp.int32),
+                cell_src_mask=jnp.asarray(cell_mask, dtype=dtype),
+            )
+        levels.append(
+            CoefMGLevel(
+                cell_faces=jnp.asarray(lvl.cell_faces, dtype=jnp.int32),
+                cell_signs=jnp.asarray(cell_signs, dtype=dtype),
+                face_cells=jnp.asarray(lvl.face_cells, dtype=jnp.int32),
+                face_signs=jnp.asarray(face_signs, dtype=dtype),
+                **extra,
+            )
+        )
+    return CoefMG(
+        levels=tuple(levels), omega=float(omega), coarse_sweeps=int(coarse_sweeps)
+    )
+
+
+# -- device apply -------------------------------------------------------------
+
+
+def _gather_sum(vals, idx, mask):
+    g = jnp.take(vals, idx.reshape(-1), axis=-1).reshape(
+        vals.shape[:-1] + idx.shape
+    )
+    return jnp.sum(g * mask, axis=-1)
+
+
+def coef_mg_dinvs(mg: CoefMG, dinv0: jnp.ndarray):
+    """Per-level (batch, n_faces_l) face vectors - the whole per-sample
+    Galerkin hierarchy. Compute ONCE per solve, outside the Krylov loop."""
+    dinvs = [dinv0]
+    for lvl in mg.levels[1:]:
+        dinvs.append(_gather_sum(dinvs[-1], lvl.face_src, lvl.face_src_mask))
+    return dinvs
+
+
+def _s_apply(lvl: CoefMGLevel, dinv, x):
+    x0 = jnp.take(x, lvl.face_cells[:, 0], axis=-1)
+    x1 = jnp.take(x, lvl.face_cells[:, 1], axis=-1)
+    t = dinv * (lvl.face_signs[:, 0] * x0 + lvl.face_signs[:, 1] * x1)
+    g = jnp.take(t, lvl.cell_faces.reshape(-1), axis=-1).reshape(
+        t.shape[:-1] + lvl.cell_faces.shape
+    )
+    return jnp.sum(g * lvl.cell_signs, axis=-1)
+
+
+def _jacobi_diag(lvl: CoefMGLevel, dinv):
+    g = jnp.take(dinv, lvl.cell_faces.reshape(-1), axis=-1).reshape(
+        dinv.shape[:-1] + lvl.cell_faces.shape
+    )
+    diag = jnp.sum(g * lvl.cell_signs ** 2, axis=-1)
+    return jnp.where(diag > 0, diag, 1.0)
+
+
+def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0):
+    """One V(sweeps, sweeps) cycle with the per-sample hierarchy."""
+    lvl = mg.levels[level]
+    dinv = dinvs[level]
+    idiag = 1.0 / _jacobi_diag(lvl, dinv)
+    if level == len(mg.levels) - 1:
+        x = mg.omega * idiag * b
+        for _ in range(mg.coarse_sweeps - 1):
+            x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
+        return x
+    x = jnp.zeros_like(b)
+    for _ in range(sweeps):
+        x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
+    r = b - _s_apply(lvl, dinv, x)
+    nxt = mg.levels[level + 1]
+    rc = _gather_sum(r, nxt.cell_src, nxt.cell_src_mask)
+    xc = coef_v_cycle(mg, dinvs, rc, sweeps, level + 1)
+    x = x + jnp.take(xc, nxt.parent, axis=-1)
+    for _ in range(sweeps):
+        x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
+    return x

@@ -74,6 +74,7 @@ class DarcyLevel(NamedTuple):
     schur_mg: object  # Optional[MGHierarchy]: kinv-aware Schur preconditioner
     sbar_dinv: object  # Optional[(n_s,)]: 1/diag(S_bar) (cg-schur-diag variant)
     kinv_cell: object = None  # Optional[(n_s,)]: per-cell geomean of kinv_ref
+    coef_mg: object = None  # Optional[CoefMG]: per-sample Galerkin Schur MG
 
 
 def _assemble_sbar(mesh, kinv, ess_attr):
@@ -98,6 +99,21 @@ def _assemble_sbar(mesh, kinv, ess_attr):
         (signs.ravel(), (rows, lvl.cell_faces.ravel())), shape=(lvl.n_s, lvl.n_u)
     )
     return (B @ sp.diags(dinv) @ B.T).tocsr()
+
+
+def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
+    """Static tables for the per-sample Galerkin Schur MG (see
+    ops/coef_multigrid.py); the sample's coefficient enters at solve time
+    through the masked mass diagonal."""
+    from parelagmc_tpu.ops.coef_multigrid import build_coef_mg
+
+    return build_coef_mg(
+        mesh,
+        np.asarray(ess),
+        dtype=dtype,
+        cutoff=solver_cfg.coarse_dense_cutoff,
+        coarse_sweeps=max(1, solver_cfg.mg_coarse_sweeps),
+    )
 
 
 def _build_schur_mg(
@@ -290,7 +306,7 @@ class DarcySolver:
                         )
                         if kinv_levels[l] is not None
                         and config.darcy_solver.name
-                        not in ("cg-schur-diag", "cg-schur-exact")
+                        not in ("cg-schur-diag", "cg-schur-exact", "cg-schur-coefmg")
                         else None
                     ),
                     sbar_dinv=(
@@ -319,6 +335,13 @@ class DarcySolver:
                             dtype=dtype,
                         )
                         if kinv_levels[l] is not None
+                        else None
+                    ),
+                    coef_mg=(
+                        _build_coef_mg_level(
+                            lvl.mesh, ess, dtype, config.darcy_solver
+                        )
+                        if config.darcy_solver.name == "cg-schur-coefmg"
                         else None
                     ),
                 )
@@ -443,6 +466,10 @@ class DarcySolver:
           instead of the kinv-aware MG ("cg-schur" default with kinv).
           Combine "cg-schur-exact" with local_schur_scaling=True for the
           per-cell sqrt(w*kinv) symmetric scaling.
+        * "cg-schur-coefmg": per-sample Galerkin MG - the preconditioner
+          hierarchy is rebuilt from THIS sample's coefficient at gather
+          cost (ops/coef_multigrid.py), the analog of the reference's
+          per-sample BoomerAMG setup.
         """
         L = self.levels[level]
         if self.solver_cfg.name == "minres-bj":
@@ -516,7 +543,22 @@ class DarcySolver:
         g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
         Minv = lambda r: L.mass_solver(w, r)
         rhs_s = self._apply_B(L, Minv(f)) - g
-        if L.sbar_dinv is not None:
+        if L.coef_mg is not None:
+            # Per-sample Galerkin MG: the hierarchy's entire coefficient
+            # dependence is the per-level dinv face vectors, computed once
+            # per solve from this sample's masked mass diagonal (the TPU
+            # analog of the reference's per-sample BoomerAMG setup,
+            # src/DarcySolver.cpp:562-649). See ops/coef_multigrid.py.
+            from parelagmc_tpu.ops.coef_multigrid import (
+                coef_mg_dinvs,
+                coef_v_cycle,
+            )
+
+            diag_w = L.m_diag(w)
+            dinv0 = jnp.where(diag_w > 0, 1.0 / jnp.where(diag_w == 0, 1.0, diag_w), 0.0)
+            dinvs = coef_mg_dinvs(L.coef_mg, dinv0)
+            prec = lambda r: coef_v_cycle(L.coef_mg, dinvs, r)
+        elif L.sbar_dinv is not None:
             # Diagonal of the static variable-coefficient Schur complement:
             # weaker than MG but a far smaller program ("cg-schur-diag").
             w_bar = jnp.exp(jnp.mean(jnp.log(w), axis=-1, keepdims=True))
