@@ -177,6 +177,118 @@ def build_coef_mg(
     )
 
 
+def _invert_face_cells(face_cells, face_signs, n_cells):
+    """Padded (n_c, K) cell->faces tables from (n_f, 2) face incidence."""
+    two = (face_signs != 0.0).reshape(-1)
+    faces = np.repeat(np.arange(face_cells.shape[0]), 2)[two]
+    cells = face_cells.reshape(-1)[two]
+    signs = face_signs.reshape(-1)[two]
+    table, mask = _pad_table(cells.astype(np.int64), faces.astype(np.int64), n_cells)
+    # Rebuild the sign table aligned with `table` slots.
+    sign_tab = np.zeros_like(mask)
+    order = np.argsort(cells, kind="stable")
+    counts = np.bincount(cells, minlength=n_cells)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(cells.size) - starts[cells[order]]
+    sign_tab[cells[order], slot] = signs[order]
+    return table, sign_tab * mask
+
+
+def build_coef_mg_graph(
+    face_cells: np.ndarray,
+    face_signs: np.ndarray,
+    centroids: np.ndarray,
+    dtype=jnp.float32,
+    cutoff: int = 2000,
+    factor: int = 8,
+    coarse_sweeps: int = 8,
+    omega: float = 0.8,
+) -> CoefMG:
+    """CoefMG for ANY cell complex, from face incidence alone: MG levels
+    come from greedy graph agglomeration (fem.agglomeration.partition_cells,
+    the METIS analog), and the Galerkin identity from the module docstring
+    applies verbatim - interior faces of an agglomerate cancel, parallel
+    crossing faces add their dinv. This is the unstructured/AMGe variant:
+    it serves simplicial, agglomerated and curved meshes (the reference's
+    per-sample BoomerAMG analog without any mesh structure assumption).
+
+    face_signs must already carry essential-BC masking (rows zeroed);
+    interior faces carry opposite unit signs (divergence incidence)."""
+    import scipy.sparse as sp
+
+    from parelagmc_tpu.fem.agglomeration import partition_cells
+
+    face_cells = np.asarray(face_cells, dtype=np.int64)
+    face_signs = np.asarray(face_signs, dtype=np.float64)
+    n_c = int(centroids.shape[0])
+
+    def level_tables(fc, fs, n_cells, extra):
+        cf, cs = _invert_face_cells(fc, fs, n_cells)
+        return CoefMGLevel(
+            cell_faces=jnp.asarray(cf, dtype=jnp.int32),
+            cell_signs=jnp.asarray(cs, dtype=dtype),
+            face_cells=jnp.asarray(np.maximum(fc, 0), dtype=jnp.int32),
+            face_signs=jnp.asarray(fs, dtype=dtype),
+            **extra,
+        )
+
+    levels = [level_tables(face_cells, face_signs, n_c, {})]
+    fc, fs, cents = face_cells, face_signs, np.asarray(centroids, dtype=np.float64)
+    while n_c > cutoff:
+        # Adjacency from two-sided faces.
+        two = (fs[:, 0] != 0.0) & (fs[:, 1] != 0.0)
+        rows = fc[two, 0]
+        cols = fc[two, 1]
+        adj = sp.csr_matrix(
+            (np.ones(2 * rows.size), (np.r_[rows, cols], np.r_[cols, rows])),
+            shape=(n_c, n_c),
+        )
+        labels = partition_cells(adj, cents, factor)
+        n_C = int(labels.max()) + 1
+        if n_C >= n_c:  # no progress (tiny or disconnected): stop
+            break
+        # Group faces by coarse pair; drop agglomerate-interior faces.
+        C0 = np.where(fs[:, 0] != 0.0, labels[fc[:, 0]], -1)
+        C1 = np.where(fs[:, 1] != 0.0, labels[fc[:, 1]], -1)
+        lo = np.minimum(C0, C1)
+        hi = np.maximum(C0, C1)
+        keep = (hi >= 0) & ((lo != hi)) & ~((lo >= 0) & (lo == hi))
+        # (lo == -1, hi >= 0): boundary group; (lo != hi >= 0): crossing.
+        key = hi[keep] * (n_C + 1) + (lo[keep] + 1)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n_F = uniq.size
+        src_ids = np.nonzero(keep)[0].astype(np.int64)
+        face_src, face_mask = _pad_table(inv.astype(np.int64), src_ids, n_F)
+        new_fc = np.zeros((n_F, 2), dtype=np.int64)
+        new_fs = np.zeros((n_F, 2), dtype=np.float64)
+        u_hi = uniq // (n_C + 1)
+        u_lo = uniq % (n_C + 1) - 1
+        new_fc[:, 0] = u_hi
+        new_fs[:, 0] = 1.0
+        bdry = u_lo < 0
+        new_fc[~bdry, 1] = u_lo[~bdry]
+        new_fs[~bdry, 1] = -1.0
+        cell_src, cell_mask = _pad_table(
+            labels.astype(np.int64), np.arange(n_c, dtype=np.int64), n_C
+        )
+        extra = dict(
+            face_src=jnp.asarray(face_src, dtype=jnp.int32),
+            face_src_mask=jnp.asarray(face_mask, dtype=dtype),
+            parent=jnp.asarray(labels, dtype=jnp.int32),
+            cell_src=jnp.asarray(cell_src, dtype=jnp.int32),
+            cell_src_mask=jnp.asarray(cell_mask, dtype=dtype),
+        )
+        levels.append(level_tables(new_fc, new_fs, n_C, extra))
+        # Coarse centroids: mean of member centroids.
+        sums = np.zeros((n_C, cents.shape[1]))
+        np.add.at(sums, labels, cents)
+        cents = sums / np.bincount(labels, minlength=n_C)[:, None]
+        fc, fs, n_c = new_fc, new_fs, n_C
+    return CoefMG(
+        levels=tuple(levels), omega=float(omega), coarse_sweeps=int(coarse_sweeps)
+    )
+
+
 # -- device apply -------------------------------------------------------------
 
 

@@ -601,8 +601,27 @@ class UnstructuredDarcySolver:
 
         self._lv = []
         sbar_csr: List[sp.csr_matrix] = []
+        self._coef_mg = [None] * self.hierarchy.nlevels
         for l, lvl in enumerate(levels):
             ess = lvl.ess_faces(ess_attr)
+            if config.darcy_solver.name == "minres-coefmg":
+                # Per-sample Galerkin Schur MG below this MLMC level: the
+                # AMGe-style graph variant (agglomerated parents, exact
+                # Galerkin face-form collapse) - works on any simplicial /
+                # agglomerated / curved mesh. See ops/coef_multigrid.py.
+                from parelagmc_tpu.fem.agglomeration import _level_cell_centers
+                from parelagmc_tpu.ops.coef_multigrid import build_coef_mg_graph
+
+                fs_m = lvl.face_signs.copy()
+                fs_m[ess, :] = 0.0
+                self._coef_mg[l] = build_coef_mg_graph(
+                    lvl.face_cells,
+                    fs_m,
+                    _level_cell_centers(lvl),
+                    dtype=dtype,
+                    cutoff=config.darcy_solver.coarse_dense_cutoff,
+                    coarse_sweeps=max(1, config.darcy_solver.mg_coarse_sweeps),
+                )
             m_vals = lvl.m_vals.copy()
             m_vals[ess, :] = 0.0
             m_vals = np.where(ess[lvl.m_cols], 0.0, m_vals)
@@ -726,7 +745,26 @@ class UnstructuredDarcySolver:
 
         dM = jnp.where(ess, 1.0, L["m_diag"](w))
         inv_dM = 1.0 / dM
-        if self._schur_mg[level] is not None:
+        if self._coef_mg[level] is not None:
+            from parelagmc_tpu.ops.coef_multigrid import (
+                coef_mg_dinvs,
+                coef_v_cycle,
+            )
+
+            mg = self._coef_mg[level]
+            diag_w = L["m_diag"](w)
+            dinv0 = jnp.where(
+                (diag_w > 0) & ~ess,
+                1.0 / jnp.where(diag_w == 0, 1.0, diag_w),
+                0.0,
+            )
+            dinvs = coef_mg_dinvs(mg, dinv0)
+
+            def prec(r):
+                zp = coef_v_cycle(mg, dinvs, r[..., n_u:])
+                return jnp.concatenate([r[..., :n_u] * inv_dM, zp], axis=-1)
+
+        elif self._schur_mg[level] is not None:
             from parelagmc_tpu.ops.multigrid import v_cycle
 
             mg = self._schur_mg[level]
