@@ -250,3 +250,41 @@ def test_cylsphere_agglomerated_sampler():
     )
     corr = np.corrcoef(avg.ravel(), s_c.ravel())[0, 1]
     assert corr > 0.9, corr
+
+
+def test_coefmg_on_agglomerated_cylinder():
+    """Per-sample Galerkin MG (graph variant) composes with algebraic
+    agglomeration on a curved mesh: minres-coefmg solves the Darcy problem
+    on cylinder.mesh's agglomerated hierarchy, matching minres-bj."""
+    import jax
+    import jax.numpy as jnp
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.fem.agglomeration import build_agglomerated_hierarchy
+    from parelagmc_tpu.unstructured import (
+        UnstructuredDarcySolver,
+        UnstructuredSPDESampler,
+    )
+
+    gm = read_mfem_mesh(f"{MESHES}/cylinder.mesh")
+    hier = build_agglomerated_hierarchy(gm, 2, coarsening_factor=8)
+    results = {}
+    for name in ("minres-bj", "minres-coefmg"):
+        cfg = ProblemConfig(
+            refinements=1, variance=0.25, correlation_length=0.3,
+            ess_attr=(1, 0, 0), inflow_attr=(0, 1, 0), obs_attr=(0, 0, 1),
+        )
+        cfg.darcy_solver.name = name
+        cfg.darcy_solver.relative_tolerance = 1e-9
+        cfg.darcy_solver.max_iterations = 600
+        cfg.darcy_solver.coarse_dense_cutoff = 60
+        sampler = UnstructuredSPDESampler(hier, cfg, DT)
+        solver = UnstructuredDarcySolver(hier, cfg, DT)
+        xi = sampler.sample(0, jax.random.PRNGKey(4), 2)
+        s = sampler.eval(0, xi)
+        q, _, info = solver.solve_fwd(0, s)
+        assert bool(np.asarray(info.converged).all()), name
+        results[name] = np.asarray(q)
+    np.testing.assert_allclose(
+        results["minres-coefmg"], results["minres-bj"], rtol=1e-6
+    )

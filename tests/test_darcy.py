@@ -159,3 +159,31 @@ def test_solve_fwd_pair_matches_separate_solves():
     # Strictly better on this small config; the gap widens on the golden
     # 16^3 config (measured: 6.5e-2 warm vs 2.3 cold at 40 iterations).
     assert err_warm < 0.85 * err_cold, (err_warm, err_cold)
+
+
+def test_coefmg_solver_matches_exact_schur():
+    """cg-schur-coefmg (per-sample Galerkin MG) matches the exact-Schur
+    solver's QoIs to solver tolerance on the golden config, in fewer
+    iterations on lognormal coefficients."""
+    import jax
+
+    from parelagmc_tpu.samplers import SPDESampler
+
+    hier = build_geometric_hierarchy(make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0)), 2)
+    results = {}
+    for name in ("cg-schur", "cg-schur-coefmg"):
+        cfg = ProblemConfig(refinements=1, batch_size=4)
+        cfg.darcy_solver.name = name
+        cfg.darcy_solver.relative_tolerance = 1e-10
+        cfg.darcy_solver.max_iterations = 500
+        cfg.darcy_solver.coarse_dense_cutoff = 30
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        xi = sampler.sample(0, jax.random.PRNGKey(2), 4)
+        s = sampler.eval(0, xi)
+        q, _, info = solver.solve_fwd(0, s)
+        assert bool(np.asarray(info.converged).all()), name
+        results[name] = (np.asarray(q), int(info.iterations))
+    np.testing.assert_allclose(
+        results["cg-schur-coefmg"][0], results["cg-schur"][0], rtol=1e-7
+    )
