@@ -96,14 +96,22 @@ def main(argv=None):
         reps = max(1, cfg.initial_samples // batch)
         if max_reps is not None:
             reps = min(reps, max_reps)
+        else:
+            reps = max(reps, 4)
         f = step if prejitted else jit_hoisted(step, key)
         t0 = time.perf_counter()
         np.asarray(f(key)[0])
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        outs = [f(jax.random.fold_in(key, 10 + i)) for i in range(reps)]
-        res = [np.asarray(o[0]) for o in outs]
-        dt = time.perf_counter() - t0
+        # Best of 3 rounds with distinct keys: tunnel RPC latency and
+        # worker warmup transients add large positive noise (cf. bench.py).
+        dt, outs = np.inf, None
+        for r in range(3):
+            t0 = time.perf_counter()
+            cur = [f(jax.random.fold_in(key, 100 * r + 10 + i)) for i in range(reps)]
+            _ = [np.asarray(o[0]) for o in cur]
+            d = time.perf_counter() - t0
+            if d < dt:
+                dt, outs = d, cur
         n = reps * batch
         iters = float(np.mean([np.asarray(o[-1]) for o in outs]))
         print(
@@ -147,13 +155,19 @@ def main(argv=None):
             f"batch {batch}"
         )
 
-        def sample_eval(k, level=level, batch=batch):
+        # Sampler-only timing uses the FULL batch: it has no Darcy memory
+        # pressure, and at batch 8 the ~25 ms per-execute dispatch floor of
+        # this tunnel dominates (measured: batch-8 and batch-64 calls cost
+        # nearly the same wall time).
+        se_batch = cfg.batch_size
+
+        def sample_eval(k, level=level, batch=se_batch):
             s = sampler.eval(level, sampler.sample(level, k, batch))
             # Per-sample reduction: fetch O(batch) scalars, not the O(n_s)
             # field - the tunnel transfer would otherwise dominate timing.
             return jnp.mean(s, axis=-1), jnp.zeros(())
 
-        row["sample_eval"] = timed(sample_eval, "Sample+Eval", batch)
+        row["sample_eval"] = timed(sample_eval, "Sample+Eval", se_batch)
 
         if level < cfg.nlevels - 1:
             # The coupled pair runs as TWO device programs (coarse solve,

@@ -63,8 +63,12 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
         )
         # prng_random_bits may come back as int32; force uint32 before the
         # logical shift so sign bits don't leak into the exponent.
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits((block, cols)), jnp.uint32)
+        # Full Box-Muller: each uniform pair yields TWO normals (cos and
+        # sin branches), so one bits pair covers two half-blocks - half
+        # the hardware-PRNG draws and one log/sqrt per OUTPUT PAIR.
+        half = cols // 2
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((block, half)), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((block, half)), jnp.uint32)
         # uint32 -> uniform [0, 1): top 23 bits into a [1, 2) float mantissa.
         u1 = pltpu.bitcast(
             (bits1 >> 9) | jnp.uint32(0x3F800000), jnp.float32
@@ -75,7 +79,8 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
         u1 = 1.0 - u1  # (0, 1] so log is finite
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = (2.0 * np.pi) * u2
-        out_ref[:] = r * jnp.cos(theta)
+        out_ref[:, :half] = r * jnp.cos(theta)
+        out_ref[:, half:] = r * jnp.sin(theta)
 
     out = pl.pallas_call(
         kernel,
