@@ -100,3 +100,29 @@ def test_cg_schur_iteration_count():
     Q, cost, info = solver.solve_fwd(0, w)
     assert bool(info.converged.all())
     assert int(info.iterations) < 40
+
+
+@pytest.mark.parametrize("variant", ["thomas", "pscan"])
+def test_mass_tridiag_scan_variants_match_dense(variant):
+    """The big-grid solve paths (sequential Thomas scan / log-depth
+    associative-scan) match the dense oracle exactly like the default
+    tridiagonal_solve path."""
+    mesh = make_box_mesh((5, 4, 3), lengths=(1.0, 2.0, 0.5))
+    lvl = build_mixed_level(mesh)
+    ess = lvl.ess_faces(np.array([1, 0, 1, 0, 1, 1]))
+    solver = build_mass_tridiag_solver(lvl, ess, dtype=DT)
+    solver = solver._replace(
+        use_scan=variant == "thomas", use_pscan=variant == "pscan"
+    )
+    rng = np.random.default_rng(4)
+    w = np.exp(2.0 * rng.normal(size=(2, lvl.n_s)))
+    rhs = rng.normal(size=(2, lvl.n_u))
+    rhs[:, ess] = 0.0
+    z = np.asarray(solver(jnp.asarray(w), jnp.asarray(rhs)))
+    for b in range(2):
+        M = lvl.mass_csr(w[b]).toarray()
+        Mi = M.copy()
+        Mi[ess, :] = 0.0
+        Mi[:, ess] = 0.0
+        Mi[np.nonzero(ess)[0], np.nonzero(ess)[0]] = 1.0
+        np.testing.assert_allclose(z[b], np.linalg.solve(Mi, rhs[b]), atol=1e-10)
