@@ -49,6 +49,17 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
                    choices=["float32", "float64", "bfloat16"])
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--no-lognormal", action="store_true")
+    p.add_argument("--normalize-marginals", dest="normalize_marginals",
+                   action="store_true", default=None,
+                   help="exact per-cell marginal-variance normalization of "
+                        "the SPDE sampler field (config.normalize_marginals)")
+    p.add_argument("--raw-marginals", dest="normalize_marginals",
+                   action="store_false",
+                   help="disable marginal normalization (reference parity)")
+    p.add_argument("--coarse-ops", default=None,
+                   choices=["galerkin", "rediscretize"],
+                   help="coarse Darcy coefficient operators "
+                        "(config.coarse_operators)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -76,6 +87,8 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         "ess_attr": _attr_vec(args.ess_attr),
         "obs_attr": _attr_vec(args.obs_attr),
         "inflow_attr": _attr_vec(args.inflow_attr),
+        "normalize_marginals": args.normalize_marginals,
+        "coarse_operators": args.coarse_ops,
     }
     override = {k: v for k, v in override.items() if v is not None}
     if args.refinements is not None:

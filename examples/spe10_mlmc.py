@@ -44,6 +44,13 @@ def main(argv=None):
         mse=-1.0,  # auto-MSE from the bias estimate
         initial_samples=32,
         batch_size=32,
+        # Exact per-cell marginal normalization of the SPDE field (override
+        # with --raw-marginals for reference statistical parity): with the
+        # 100 ft correlation length, the coarse SPE10 levels under-resolve
+        # the field and the raw per-level marginal-variance mismatch
+        # destroys the MLMC variance decay (measured beta = -0.5 in round
+        # 2; see examples/spe10_rate_diagnostics.py).
+        normalize_marginals=True,
     )
     if grid is not None:
         # Scaled-down run on a grid with the SPE10 domain extents.

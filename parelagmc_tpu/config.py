@@ -148,6 +148,23 @@ class ProblemConfig:
     unstructured_coarsening: bool = False
     coarsening_factor: int = 8
 
+    # Coarse-level Darcy coefficient operators: "galerkin" (coarse velocity
+    # mass = exact RAP of the fine kinv_ref-weighted mass through the RT
+    # embedding, the tensor analog of the reference's AMGe element-matrix
+    # coarsening, src/DarcySolver.cpp:161-169) or "rediscretize" (coarse
+    # kinv_ref by volume-weighted arithmetic averaging, the round-1/2
+    # behavior). Identical when kinv_ref is absent (the RT embedding is
+    # exact, so unit-coefficient RAP == rediscretization).
+    coarse_operators: str = "galerkin"
+    # Scale the SPDE sampler's Gaussian field per cell to EXACT marginal
+    # std sigma using the closed spectral form of the discrete covariance
+    # diagonal (ops/tensorsolve.tensor_marginal_std). Removes the boundary
+    # variance inflation (which the reference only mitigates by mesh
+    # embedding) and the per-level marginal mismatch that kills MLMC
+    # variance decay on under-resolving levels (SPE10). Off by default for
+    # statistical parity with the reference's plain sampler.
+    normalize_marginals: bool = False
+
     # Uncertainty model.
     sampler_name: str = "pde"  # "pde" | "analytic" | "matern"
     correlation_length: float = 0.1

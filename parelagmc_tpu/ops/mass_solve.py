@@ -32,8 +32,15 @@ from parelagmc_tpu.fem.assembly import MixedLevel
 
 
 class _AxisData(NamedTuple):
-    m3: jnp.ndarray  # cell grid, axis last: (lines..., n_a)
-    m6: jnp.ndarray
+    # Per-cell tridiagonal coefficient tables, cell grid with the solved
+    # axis last: (lines..., n_a). Cell i contributes m_lo[i] to the diagonal
+    # of its lo face, m_hi[i] to its hi face and m_mid[i] to their coupling.
+    # Rediscretized levels have m_lo == m_hi == h^2/(3V)*kinv and
+    # m_mid == h^2/(6V)*kinv; Galerkin-coarsened levels carry the general
+    # RAP blocks (fem/galerkin_mass.py), where lo/hi differ.
+    m_lo: jnp.ndarray
+    m_mid: jnp.ndarray
+    m_hi: jnp.ndarray
     ess: jnp.ndarray  # face grid, axis last: (lines..., n_a + 1) bool
     n_a: int  # cells along the axis
     perm_cell: Tuple[int, ...]  # reversed-grid dims -> (lines..., axis)
@@ -156,15 +163,16 @@ class MassTridiagSolver(NamedTuple):
         for a in range(d):
             ax = self.axes[a]
             w_a = jnp.transpose(wg, tuple(range(nb)) + tuple(nb + p for p in ax.perm_cell))
-            c3 = w_a * ax.m3
-            c6 = w_a * ax.m6
-            zero = jnp.zeros_like(c3[..., :1])
+            c_lo = w_a * ax.m_lo
+            c_mid = w_a * ax.m_mid
+            c_hi = w_a * ax.m_hi
+            zero = jnp.zeros_like(c_lo[..., :1])
             # Face-grid arrays along the line (n_a + 1 faces).
-            diag = jnp.concatenate([c3, zero], axis=-1) + jnp.concatenate(
-                [zero, c3], axis=-1
+            diag = jnp.concatenate([c_lo, zero], axis=-1) + jnp.concatenate(
+                [zero, c_hi], axis=-1
             )
-            du = jnp.concatenate([c6, zero], axis=-1)  # couples (i, i+1)
-            dl = jnp.concatenate([zero, c6], axis=-1)  # couples (i, i-1)
+            du = jnp.concatenate([c_mid, zero], axis=-1)  # couples (i, i+1)
+            dl = jnp.concatenate([zero, c_mid], axis=-1)  # couples (i, i-1)
             ess = ax.ess
             ess_next = jnp.concatenate([ess[..., 1:], ess[..., :1]], axis=-1)
             ess_prev = jnp.concatenate([ess[..., -1:], ess[..., :-1]], axis=-1)
@@ -207,30 +215,43 @@ def build_mass_tridiag_solver(
     ess_mask: np.ndarray,
     kinv_ref: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    axis_blocks=None,
 ) -> MassTridiagSolver:
     """Static factors for M(w)^{-1} on `lvl`'s mesh with essential dofs
-    `ess_mask`; optional static per-axis inverse permeability (n_s, d) is
-    folded into the coefficients (matching DarcySolver's baked kinv_ref)."""
+    `ess_mask`. Either fold an optional static per-axis inverse permeability
+    (n_s, d) into the rediscretized coefficients (matching DarcySolver's
+    baked kinv_ref), or take general per-cell (bll, blr, brr) Galerkin
+    blocks (fem/galerkin_mass.py) via `axis_blocks` - the energy-consistent
+    coarse levels stay exactly line-tridiagonal, so the exact batched
+    M(w)^{-1} survives the Galerkin coarsening unchanged."""
     mesh = lvl.mesh
     d = mesh.dim
     shape = mesh.shape
     vol = mesh.cell_volumes().reshape(shape[::-1])  # (z, y, x)
     axes: List[_AxisData] = []
     for a in range(d):
-        h = mesh.cell_widths(a).reshape(shape[::-1])
-        m3 = h * h / (3.0 * vol)
-        m6 = h * h / (6.0 * vol)
-        if kinv_ref is not None:
-            k = np.asarray(kinv_ref)
-            ka = (k[:, a] if k.ndim == 2 else k).reshape(shape[::-1])
-            m3 = m3 * ka
-            m6 = m6 * ka
+        if axis_blocks is not None:
+            bll, blr, brr = axis_blocks
+            m_lo = bll[:, a].reshape(shape[::-1])
+            m_mid = blr[:, a].reshape(shape[::-1])
+            m_hi = brr[:, a].reshape(shape[::-1])
+        else:
+            h = mesh.cell_widths(a).reshape(shape[::-1])
+            m_lo = h * h / (3.0 * vol)
+            m_mid = 0.5 * m_lo
+            if kinv_ref is not None:
+                k = np.asarray(kinv_ref)
+                ka = (k[:, a] if k.ndim == 2 else k).reshape(shape[::-1])
+                m_lo = m_lo * ka
+                m_mid = m_mid * ka
+            m_hi = m_lo
         # Array layout is (z, y, x); mesh axis a is array dim d-1-a. Move it
         # last.
         dim_a = d - 1 - a
         perm_cell = tuple(i for i in range(d) if i != dim_a) + (dim_a,)
-        m3 = np.transpose(m3, perm_cell)
-        m6 = np.transpose(m6, perm_cell)
+        m_lo = np.transpose(m_lo, perm_cell)
+        m_mid = np.transpose(m_mid, perm_cell)
+        m_hi = np.transpose(m_hi, perm_cell)
         fshape = list(shape)
         fshape[a] += 1
         ess_a = ess_mask[mesh.face_offsets[a]: mesh.face_offsets[a + 1]].reshape(
@@ -239,8 +260,9 @@ def build_mass_tridiag_solver(
         ess_a = np.transpose(ess_a, perm_cell)
         axes.append(
             _AxisData(
-                m3=jnp.asarray(m3, dtype=dtype),
-                m6=jnp.asarray(m6, dtype=dtype),
+                m_lo=jnp.asarray(m_lo, dtype=dtype),
+                m_mid=jnp.asarray(m_mid, dtype=dtype),
+                m_hi=jnp.asarray(m_hi, dtype=dtype),
                 ess=jnp.asarray(ess_a),
                 n_a=shape[a],
                 perm_cell=perm_cell,

@@ -57,15 +57,12 @@ class TensorEig(NamedTuple):
     shape: Tuple[int, ...]  # cells per axis (n_1, ..., n_d), x first
 
 
-def _axis_factors(
-    h: np.ndarray, keep_lo: bool, keep_hi: bool
-) -> Tuple[np.ndarray, np.ndarray]:
-    """1D spectral factors for one axis.
+def axis_schur_1d(h: np.ndarray, keep_lo: bool, keep_hi: bool) -> np.ndarray:
+    """Dense 1D cell-space Schur stiffness K = d t^{-1} d^T for one axis.
 
     h: (n,) cell widths. keep_lo/keep_hi: whether the boundary face at the
     low/high end carries a dof (False = essential u.n = 0, eliminated).
-    Returns (eigvals, eigvecs) of H = h^{-1/2} d t^{-1} d^T h^{-1/2}, an
-    (n, n) symmetric PSD matrix on cells.
+    The full operator is S = alpha*W + sum_a [(x)_{b!=a} diag(h_b)] (x) K_a.
     """
     n = h.size
     faces = []  # kept 1D faces as indices 0..n (face i sits left of cell i)
@@ -91,12 +88,26 @@ def _axis_factors(
         if lo in pos and hi in pos:
             t[pos[lo], pos[hi]] += h[i] / 6.0
             t[pos[hi], pos[lo]] += h[i] / 6.0
+    if nf == 0:
+        return np.zeros((n, n))
+    return d @ np.linalg.solve(t, d.T)
+
+
+def _eig_factors(K: np.ndarray, h: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Spectral factors (eigvals, eigvecs) of H = h^{-1/2} K h^{-1/2}."""
     hs = 1.0 / np.sqrt(h)
-    H = (hs[:, None] * (d @ np.linalg.solve(t, d.T)) * hs[None, :]) if nf else np.zeros((n, n))
+    H = hs[:, None] * K * hs[None, :]
     H = 0.5 * (H + H.T)
     lam, V = np.linalg.eigh(H)
     lam = np.maximum(lam, 0.0)
     return lam, V
+
+
+def _axis_factors(
+    h: np.ndarray, keep_lo: bool, keep_hi: bool
+) -> Tuple[np.ndarray, np.ndarray]:
+    """1D spectral factors for one axis (rediscretized fine operator)."""
+    return _eig_factors(axis_schur_1d(h, keep_lo, keep_hi), h)
 
 
 def build_tensor_solver(
@@ -146,6 +157,32 @@ def build_tensor_solver(
         w_sqrt=jnp.asarray(np.sqrt(mesh.cell_volumes()), dtype=dtype),
         shape=shape,
     )
+
+
+def tensor_marginal_std(eig: TensorEig, g: float) -> np.ndarray:
+    """Exact per-cell marginal standard deviation of the SPDE sampler field
+    s = S^{-1} (g W^{1/2} xi), xi ~ N(0, I), computed on host from the
+    spectral factors:
+
+        Cov(s) = g^2 S^{-1} W S^{-1} = g^2 W^{-1/2} V Lam^{-2} V^T W^{-1/2}
+        diag(Cov)_i = (g^2 / W_i) * sum_m prod_a V_a[i_a, m_a]^2 / lam_m^2,
+
+    i.e. the elementwise-squared per-axis eigenvector transforms applied to
+    the lam^{-2} modal grid - the same per-axis-matmul cost as one tensor
+    solve of a single vector. Used by the samplers' exact marginal
+    normalization (config.normalize_marginals); the reference can only
+    *mitigate* its boundary variance inflation by mesh embedding
+    (src/EmbeddedPDESampler.cpp:58-89), while the closed spectral form makes
+    the discrete marginal exact at every cell of every level."""
+    d = len(eig.shape)
+    lam = np.asarray(eig.lam, dtype=np.float64)
+    z = 1.0 / lam**2
+    for a in range(d):
+        dim = z.ndim - 1 - a
+        V2 = np.asarray(eig.V[a], dtype=np.float64) ** 2
+        z = np.moveaxis(np.moveaxis(z, dim, -1) @ V2.T, -1, dim)
+    w = np.asarray(eig.w_sqrt, dtype=np.float64) ** 2
+    return g * np.sqrt(np.maximum(z.reshape(-1), 0.0) / w)
 
 
 def _transform(x: jnp.ndarray, mats: Sequence[jnp.ndarray], shape, transpose: bool):

@@ -232,39 +232,90 @@ class DarcySolver:
         else:
             raise ValueError(f"unknown QoI '{config.qoi}'")
 
-        # Restrict rhs/obs by the exact block prolongator transpose.
+        # --- static reference inverse permeability per level ----------------
+        # Two constructions (config.coarse_operators):
+        # * "galerkin" (default): coarse mass = exact RAP of the fine
+        #   kinv-weighted mass through the *energy-adapted* RT embedding
+        #   (per-line conductance flux weights), carried as per-(cell,
+        #   axis) 2x2 blocks (fem/galerkin_mass.py) - the tensor analog of
+        #   the reference's AMGe minimum-energy coarsening of the
+        #   kinv-weighted sequence (src/DarcySolver.cpp:87-90,161-169);
+        #   kinv_levels holds the blocks' effective coefficient for the
+        #   preconditioner scalings only.
+        # * "rediscretize": volume-weighted arithmetic averaging of kinv
+        #   (round-1/2 behavior; at SPE10 contrast this defines a
+        #   materially different coarse problem and was the measured cause
+        #   of the missing MLMC variance decay).
+        kinv_levels: List[Optional[np.ndarray]] = [None] * hierarchy.nlevels
+        blocks_chain = None
+        p_weights: List[Optional[List[np.ndarray]]] = [None] * (
+            hierarchy.nlevels - 1
+        )
+        if kinv_ref is not None:
+            kinv_ref = np.asarray(kinv_ref, dtype=np.float64)
+            if kinv_ref.ndim == 1:
+                kinv_ref = np.repeat(kinv_ref[:, None], d, axis=1)
+            if getattr(config, "coarse_operators", "galerkin") == "galerkin":
+                from parelagmc_tpu.fem.galerkin_mass import (
+                    effective_kinv,
+                    galerkin_block_chain,
+                )
+
+                blocks_chain, p_weights = galerkin_block_chain(
+                    [lvl.mesh for lvl in hierarchy.levels], kinv_ref
+                )
+                kinv_levels = [
+                    effective_kinv(hierarchy.levels[l].mesh, blocks_chain[l])
+                    for l in range(hierarchy.nlevels)
+                ]
+            else:
+                kinv_levels[0] = kinv_ref
+                for l in range(hierarchy.nlevels - 1):
+                    Wf = hierarchy.levels[l].W
+                    Wc = hierarchy.levels[l + 1].W
+                    coarse = np.zeros((hierarchy.levels[l + 1].n_s, d))
+                    np.add.at(
+                        coarse, hierarchy.parent[l], Wf[:, None] * kinv_levels[l]
+                    )
+                    kinv_levels[l + 1] = coarse / Wc[:, None]
+
+        # Restrict rhs/obs by the exact block prolongator transpose (the
+        # energy-adapted embedding when active, so the coarse functionals
+        # are the true Galerkin restrictions of the fine ones).
         rhs_np: List[np.ndarray] = [rhs0]
         obs_np: List[np.ndarray] = [obs0]
         for l in range(hierarchy.nlevels - 1):
-            P_rt = hierarchy.P_rt[l]
+            if p_weights[l] is not None:
+                from parelagmc_tpu.fem.galerkin_mass import (
+                    weighted_rt_prolongator,
+                )
+
+                P_rt = weighted_rt_prolongator(
+                    hierarchy.levels[l].mesh,
+                    hierarchy.levels[l + 1].mesh,
+                    p_weights[l],
+                )
+            else:
+                P_rt = hierarchy.P_rt[l]
             P_l2 = hierarchy.p_l2(l)
             for vecs in (rhs_np, obs_np):
                 vu = P_rt.T @ vecs[l][: hierarchy.levels[l].n_u]
                 vp = P_l2.T @ vecs[l][hierarchy.levels[l].n_u:]
                 vecs.append(np.concatenate([vu, vp]))
 
-        # --- static reference inverse permeability per level ----------------
-        kinv_levels: List[Optional[np.ndarray]] = [None] * hierarchy.nlevels
-        if kinv_ref is not None:
-            kinv_ref = np.asarray(kinv_ref, dtype=np.float64)
-            if kinv_ref.ndim == 1:
-                kinv_ref = np.repeat(kinv_ref[:, None], d, axis=1)
-            kinv_levels[0] = kinv_ref
-            for l in range(hierarchy.nlevels - 1):
-                Wf = hierarchy.levels[l].W
-                Wc = hierarchy.levels[l + 1].W
-                coarse = np.zeros((hierarchy.levels[l + 1].n_s, d))
-                np.add.at(coarse, hierarchy.parent[l], Wf[:, None] * kinv_levels[l])
-                kinv_levels[l + 1] = coarse / Wc[:, None]
-
         # --- per-level device operators -------------------------------------
         self.levels: List[DarcyLevel] = []
         for l, lvl in enumerate(hierarchy.levels):
             ess = lvl.ess_faces(ess_attr)
-            m_vals = lvl.m_vals.copy()
-            if kinv_levels[l] is not None:
-                face_ax = lvl.mesh.face_axis()
-                m_vals = m_vals * kinv_levels[l][lvl.m_cells, face_ax[:, None]]
+            if blocks_chain is not None:
+                from parelagmc_tpu.fem.galerkin_mass import blocks_to_ell_vals
+
+                m_vals = blocks_to_ell_vals(lvl, blocks_chain[l])
+            else:
+                m_vals = lvl.m_vals.copy()
+                if kinv_levels[l] is not None:
+                    face_ax = lvl.mesh.face_axis()
+                    m_vals = m_vals * kinv_levels[l][lvl.m_cells, face_ax[:, None]]
             m_vals[ess, :] = 0.0
             col_is_ess = ess[lvl.m_cols]
             m_vals = np.where(col_is_ess, 0.0, m_vals)
@@ -295,7 +346,13 @@ class DarcySolver:
                         else 0.0
                     ),
                     mass_solver=build_mass_tridiag_solver(
-                        lvl, ess, kinv_ref=kinv_levels[l], dtype=dtype
+                        lvl,
+                        ess,
+                        kinv_ref=kinv_levels[l],
+                        dtype=dtype,
+                        axis_blocks=(
+                            blocks_chain[l] if blocks_chain is not None else None
+                        ),
                     ),
                     schur_mg=(
                         _build_schur_mg(

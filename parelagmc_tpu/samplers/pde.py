@@ -128,10 +128,37 @@ class _TensorSPDEBase(MLSampler):
         self.g = matern_spde_scaling(self.corlen, d)
         self.sigma = math.sqrt(float(config.variance))
         self.lognormal = bool(config.lognormal)
+        # Per-level rediscretized operators. On nested tensor RT0/P0 spaces
+        # the RT embedding is exact, so the reference's AMGe Galerkin
+        # coarsening of the (unit-coefficient) mixed SPDE blocks
+        # (src/PDESampler.cpp:160-168 via ParELAG DeRhamSequence) produces
+        # exactly these rediscretized coarse operators - there is no
+        # separate "galerkin" sampler variant to build.
         self.eigs: List[TensorEig] = [
             build_tensor_solver(lvl.mesh, self.alpha, ess_attr=None, dtype=dtype)
             for lvl in solve_hierarchy.levels
         ]
+        # Optional exact marginal normalization (config.normalize_marginals):
+        # scale the Gaussian field per cell by sigma / model_std(cell), with
+        # model_std computed EXACTLY from the spectral factors
+        # (ops/tensorsolve.tensor_marginal_std). This removes both known
+        # artifacts of the SPDE sampler - boundary variance inflation (which
+        # the reference's embedded variants only mitigate) and the
+        # per-level marginal-variance mismatch that destroys MLMC variance
+        # decay when a level under-resolves the correlation length
+        # (measured on SPE10: examples/spe10_rate_diagnostics.py; round-2
+        # evidence had beta = -0.5 from exactly this). Off by default for
+        # statistical parity with the reference's plain sampler.
+        self.field_scale: Optional[List[jnp.ndarray]] = None
+        if getattr(config, "normalize_marginals", False):
+            from parelagmc_tpu.ops.tensorsolve import tensor_marginal_std
+
+            self.field_scale = [
+                jnp.asarray(
+                    1.0 / tensor_marginal_std(eig, self.g), dtype=dtype
+                )
+                for eig in self.eigs
+            ]
         self.w_sqrt = [
             jnp.asarray(lvl.w_sqrt, dtype=dtype) for lvl in solve_hierarchy.levels
         ]
@@ -166,7 +193,10 @@ class _TensorSPDEBase(MLSampler):
         rhs = self.g * self.w_sqrt[xi_level] * xi
         for l in range(xi_level, level):
             rhs = restrict_cells_matmul(rhs, self.restrict_mats[l], self.shapes[l])
-        return tensor_solve(self.eigs[level], rhs)
+        s = tensor_solve(self.eigs[level], rhs)
+        if self.field_scale is not None:
+            s = s * self.field_scale[level]
+        return s
 
     def nnz(self, level: int) -> int:
         # Modal operator size: eigen-factor entries (observability metric).
