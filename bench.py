@@ -94,11 +94,31 @@ def main() -> None:
     )
 
     # --- single-core scipy baseline proxy (sparse LU per sample) -----------
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spla
+    # The divisor is PINNED in BASELINE_CALIBRATION.json (calibrated once on
+    # an idle host): re-measuring it at bench time made vs_baseline swing
+    # ~45% with concurrent host load (BENCH_r01 1.194 s/sample vs BENCH_r02
+    # 0.824; judge finding r2). Pass --recalibrate on an idle host to
+    # refresh the pin; the live measurement is still taken and reported so
+    # drift is visible.
+    import os
 
-    cpu_sps = _scipy_baseline(hier, solver, nmeas=3)
-    vs = sps / (64.0 * cpu_sps)
+    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_CALIBRATION.json")
+    live_sec = 1.0 / _scipy_baseline(hier, solver, nmeas=3)
+    if "--recalibrate" in sys.argv or not os.path.exists(calib_path):
+        calib = {
+            "cpu_sec_per_sample": round(live_sec, 4),
+            "what": "single-core scipy sparse-LU fine+coarse saddle pair, "
+                    "golden 16^3 config (see bench.py _scipy_baseline)",
+            "note": "calibrate on an idle host only (--recalibrate)",
+        }
+        with open(calib_path, "w") as f:
+            json.dump(calib, f, indent=1)
+    else:
+        with open(calib_path) as f:
+            calib = json.load(f)
+    pinned_sec = float(calib["cpu_sec_per_sample"])
+    vs = sps * pinned_sec / 64.0
     print(
         json.dumps(
             {
@@ -106,6 +126,8 @@ def main() -> None:
                 "value": round(sps, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(vs, 3),
+                "baseline_sec_per_sample": pinned_sec,
+                "baseline_sec_per_sample_live": round(live_sec, 4),
             }
         )
     )

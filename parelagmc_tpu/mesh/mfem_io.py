@@ -10,8 +10,9 @@ Reads both formats the reference's bundled meshes use
   cube_hex_embed.mesh, square_embed.mesh) are *detected* and converted to
   StructuredMesh with their per-cell attributes (the embedded-region
   markers the embedded samplers consume); genuinely unstructured meshes
-  (tets/triangles/curved boundaries) are returned as GeneralMesh - usable
-  with the native geometry kernels, pending the general-FEM path.
+  (tets/triangles/curved boundaries) are returned as GeneralMesh and flow
+  into the simplicial FEM stack (fem/simplicial.py, unstructured.py) and
+  the native geometry kernels.
 
 The writer lives in utils/io_vtk.save_mesh_mfem.
 """

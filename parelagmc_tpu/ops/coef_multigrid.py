@@ -336,8 +336,10 @@ def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0):
         for _ in range(mg.coarse_sweeps - 1):
             x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
         return x
-    x = jnp.zeros_like(b)
-    for _ in range(sweeps):
+    # First pre-sweep from x = 0 in closed form (skips one operator
+    # application per level per cycle; advisor finding r2).
+    x = mg.omega * idiag * b
+    for _ in range(sweeps - 1):
         x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
     r = b - _s_apply(lvl, dinv, x)
     nxt = mg.levels[level + 1]

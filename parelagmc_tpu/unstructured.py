@@ -7,8 +7,10 @@ triangles/tets, on top of fem.simplicial's operator bundles and the generic
 batched device machinery (ELL gathers + PCG/MINRES). Multilevel hierarchies
 come from nested uniform refinement (fem/simplicial_hierarchy.py) with
 exact RT0/P0 interlevel embeddings, so these classes compose with the full
-MLMC and Bayesian manager stack; true algebraic agglomeration of a *given*
-fine mesh (ParELAG AMGe) remains planned work.
+MLMC and Bayesian manager stack; algebraic agglomeration of a *given* fine
+mesh (the ParELAG AMGe analog, with minimum-energy coarse RT bases) lives
+in fem/agglomeration.py and plugs in through the same hierarchy duck type
+(config.unstructured_coarsening).
 
 Both classes accept either a SimplicialHierarchy or a single
 SimplicialLevel (treated as a 1-level hierarchy).
@@ -604,7 +606,7 @@ class UnstructuredDarcySolver:
         self._coef_mg = [None] * self.hierarchy.nlevels
         for l, lvl in enumerate(levels):
             ess = lvl.ess_faces(ess_attr)
-            if config.darcy_solver.name == "minres-coefmg":
+            if config.darcy_solver.name in ("minres-coefmg", "hybrid-cg"):
                 # Per-sample Galerkin Schur MG below this MLMC level: the
                 # AMGe-style graph variant (agglomerated parents, exact
                 # Galerkin face-form collapse) - works on any simplicial /
@@ -663,6 +665,20 @@ class UnstructuredDarcySolver:
                 )
             )
         self.solver_cfg = config.darcy_solver
+        # Hybridized SPD fast path ("hybrid-cg"): element-local condensation
+        # to the face-multiplier system, per-sample coefficient entering as
+        # an exact 1/w_e rescaling of the unit element blocks (the
+        # reference's fast configuration, src/DarcySolver.cpp:562-649; see
+        # physics/hybrid.py). Levels without simplicial element geometry
+        # (agglomerated coarse levels) keep the MINRES path.
+        self._hybrid = [None] * self.hierarchy.nlevels
+        if config.darcy_solver.name == "hybrid-cg":
+            from parelagmc_tpu.physics.hybrid import build_hybrid_level
+
+            for l, lvl in enumerate(levels):
+                self._hybrid[l] = build_hybrid_level(
+                    lvl, lvl.ess_faces(ess_attr), rhs_np[l], obs_np[l], dtype
+                )
         # Block prolongations for warm-started pair solves.
         self._prolong_rt = [
             pack_csr_to_ell(P.tocsr(), dtype) for P in self.hierarchy.P_rt
@@ -712,6 +728,14 @@ class UnstructuredDarcySolver:
         from the block-prolongated coarse solution [P_rt u_c; P_l2 p~_c]
         (reference: MLMC_Manager.cpp:150-156 + DarcySolver SolveFwd with
         initial iterate). Returns (q, qc, info_f, info_c)."""
+        if self._hybrid[level] is not None:
+            # Hybridized solves recover (u, p~) element-locally; the coarse
+            # saddle iterate is not materialized, so the pair runs as two
+            # independent SPD solves (cold fine start - the hybrid fine
+            # solve at ~30 iterations costs less than a warm MINRES one).
+            qc, _, info_c = self.solve_fwd(level + 1, w_c)
+            q, _, info_f = self.solve_fwd(level, w_f)
+            return q, qc, info_f, info_c
         qc, _, info_c, x_c = self.solve_fwd(
             level + 1, w_c, return_pressure=False, return_solution=True
         )
@@ -731,6 +755,43 @@ class UnstructuredDarcySolver:
         x0=None,
         return_solution: bool = False,
     ):
+        if (
+            self._hybrid[level] is not None
+            and x0 is None
+            and not return_solution
+        ):
+            from parelagmc_tpu.physics.hybrid import hybrid_solve
+
+            aux_cycle = None
+            if self._coef_mg[level] is not None:
+                from parelagmc_tpu.ops.coef_multigrid import (
+                    coef_mg_dinvs,
+                    coef_v_cycle,
+                )
+
+                Lh = self._lv[level]
+                mg = self._coef_mg[level]
+                diag_w = Lh["m_diag"](w)
+                dinv0 = jnp.where(
+                    (diag_w > 0) & ~Lh["ess"],
+                    1.0 / jnp.where(diag_w == 0, 1.0, diag_w),
+                    0.0,
+                )
+                dinvs = coef_mg_dinvs(mg, dinv0)
+                aux_cycle = lambda r: coef_v_cycle(mg, dinvs, r)
+            Q, info, pe = hybrid_solve(
+                self._hybrid[level],
+                w,
+                max_iters=self.solver_cfg.max_iterations,
+                rtol=self.solver_cfg.relative_tolerance,
+                atol=self.solver_cfg.absolute_tolerance,
+                restart_every=self.solver_cfg.restart_every,
+                aux_cycle=aux_cycle,
+            )
+            cost = float(self.num_dofs(level))
+            if return_pressure:
+                return Q, cost, info, -pe
+            return Q, cost, info
         L = self._lv[level]
         n_u = int(L["n_u"])
         ess = L["ess"]

@@ -175,6 +175,26 @@ class MLMCManager:
                 and self.sharding is None
                 and hasattr(solver, "solve_fwd_warm")
             )
+            if (
+                getattr(self.config, "split_pair_programs", False)
+                and not split
+            ):
+                # The duration-limit guard cannot compose with sharded steps
+                # (yet); a silently-composed single program can hit the TPU
+                # worker's execution-duration limit at SPE10 scale.
+                import warnings
+
+                warnings.warn(
+                    "split_pair_programs requested but unavailable "
+                    + (
+                        "with sharding"
+                        if self.sharding is not None
+                        else "for this solver"
+                    )
+                    + "; running the composed single-program pair step "
+                    "(watch the TPU execution-duration limit at scale)",
+                    stacklevel=2,
+                )
             if split:
                 # Two device programs per pair step (execution-duration
                 # guard at SPE10 scale; see config.split_pair_programs).
@@ -216,7 +236,13 @@ class MLMCManager:
         """Pair step as two hoisted jits: stage 1 samples the coupled fields
         and solves the coarse problem; stage 2 warm-starts the fine solve
         from the prolongated coarse pressure. Device-to-device handoff, no
-        host round-trip of fields."""
+        host round-trip of fields.
+
+        Iteration accounting caveat: each continuation segment adds pcg's
+        batch-max while-loop count for the WHOLE batch, including members
+        that converged in earlier segments, so segmented runs over-report
+        the mean-iterations diagnostic relative to the composed path (the
+        estimator itself is unaffected; advisor finding r2)."""
         import jax.numpy as jnp
 
         from parelagmc_tpu.ops.jit_utils import jit_hoisted

@@ -143,3 +143,51 @@ def test_ratio_split_programs_identical(tmp_path):
         mgr.close()
     for a, b in zip(results[0], results[1]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
+
+
+def test_ratio_checkpoint_resume_matches_uninterrupted(tmp_path):
+    # VERDICT r2 item 7: bit-exact resume for the ratio managers, mirroring
+    # tests/test_checkpoint.py for MLMCManager.
+    def fresh(tag):
+        TimeManager.reset()
+        _, prob, cfg = build_problem(
+            tmp_path, mse=2e-2, cost_model="dofs",
+            bayes_generate_ref_data=False,
+        )
+        return BayesRatioManager(prob, cfg)
+
+    # Fix the observational data on disk so all managers share it.
+    TimeManager.reset()
+    _, prob0, _ = build_problem(tmp_path, mse=2e-2)
+    obs = prob0.generate_observational_data()
+    np.savetxt(str(tmp_path / "ref_obs.dat"), np.atleast_1d(obs))
+
+    m1 = fresh("full")
+    est1 = m1.run()
+    n1 = m1.level_nsamples.copy()
+
+    m2 = fresh("part1")
+    m2.init_run([m2.init_nsamples] * m2.nlevels)
+    ckpt = str(tmp_path / "ratio_state.npz")
+    m2.save_state(ckpt)
+    m2.close()
+
+    m3 = fresh("part2")
+    est3 = m3.resume(ckpt)
+    np.testing.assert_allclose(est3, est1, rtol=1e-12)
+    np.testing.assert_array_equal(m3.level_nsamples, n1)
+    m1.close()
+    m3.close()
+
+
+def test_ratio_checkpoint_kind_mismatch(tmp_path):
+    TimeManager.reset()
+    _, prob, cfg = build_problem(tmp_path, mse=2e-2)
+    m = BayesRatioManager(prob, cfg, splitting=True)
+    m.init_run([4, 4])
+    ckpt = str(tmp_path / "k.npz")
+    m.save_state(ckpt)
+    m2 = BayesRatioManager(prob, cfg, splitting=False)
+    with pytest.raises(ValueError, match="splitting"):
+        m2.load_state(ckpt)
+    m.close()

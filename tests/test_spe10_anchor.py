@@ -1,0 +1,56 @@
+"""Fixed-seed SPE10-class accuracy anchor (VERDICT r2 item 4): pins the
+MLMC estimate and the per-level dof table for a scaled SPE10 run, so scale
+regressions are caught in CI - round 2 captured only throughput.
+
+Configuration: the spe10_mlmc.py --grid 16,32,8 class (synthetic SPE10-like
+permeability at that resolution, SPE10 domain extents, corlen 100 ft,
+normalized marginals, energy-consistent Galerkin coarse operators, deep
+rtol 1e-8 so the pin is solver-independent). CPU float64, seed 0.
+"""
+
+import numpy as np
+
+from parelagmc_tpu.config import ProblemConfig
+from parelagmc_tpu.mesh.factories import SPE10_NCELLS, SPE10_SPACING
+from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+from parelagmc_tpu.problems import build_problem
+from parelagmc_tpu.uq import MLMCManager
+
+
+def test_spe10_scaled_anchor():
+    grid = (16, 32, 8)
+    lengths = tuple(n * h for n, h in zip(SPE10_NCELLS, SPE10_SPACING))
+    cfg = ProblemConfig(
+        mesh="box",
+        ncells=tuple(g // 4 for g in grid),
+        lengths=lengths,
+        refinements=2,
+        correlation_length=100.0,
+        dtype="float64",
+        mse=1e10,
+        initial_samples=32,
+        batch_size=16,
+        seed=0,
+        output_filename="",
+        cost_model="dofs",
+    )
+    cfg.normalize_marginals = True
+    cfg.darcy_solver.name = "cg-schur-coefmg"
+    cfg.darcy_solver.relative_tolerance = 1e-8
+    cfg.darcy_solver.max_iterations = 2000
+    kinv = load_spe10_kinv(None, ncells=grid)
+    prob = build_problem(cfg, kinv_ref=kinv)
+    mgr = MLMCManager(prob.solver, prob.sampler, cfg)
+    mgr.init_run([32, 32, 32])
+
+    assert [prob.solver.num_dofs(l) for l in range(3)] == [17280, 2272, 312]
+    # Pinned 2026-08-17 (estimate 361.882, E[Q] = 330.4/308.2/298.2):
+    # identical stream + f64 deep solves, so only a real behavior change
+    # moves it past the band.
+    assert abs(mgr.estimate - 361.882) < 0.5, mgr.estimate
+    np.testing.assert_allclose(
+        mgr.eQ, [330.433, 308.151, 298.182], rtol=2e-3
+    )
+    # Telescoping consistency and multilevel variance decay on this grid.
+    assert mgr.consistency.max() < 0.1
+    assert mgr.varY[0] < mgr.varY[1] < mgr.varY[2]
