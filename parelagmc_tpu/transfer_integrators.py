@@ -102,6 +102,44 @@ def mortar_p1_couple(gm1: GeneralMesh, gm2: GeneralMesh, tol: float = 1e-12):
     return B
 
 
+def mortar_p1_p0_couple(gm1: GeneralMesh, gm2: GeneralMesh, tol: float = 1e-12):
+    """Mixed P1-P0 mortar coupling B[vertex_i, cell_j] = int_{supp phi_i
+    cap C_j} phi_i over the mesh intersection: the reference's
+    L2MortarIntegrator between a linear master space and the piecewise
+    constant sampler field (MortarIntegrator.hpp:19-75 handles arbitrary
+    order pairs; this is the (1, 0) instance). Exact: the only factor is
+    affine per intersection polytope, so each entry is a_k V + b_k . m1.
+
+    Returns (B, lump) with lump[i] = int phi_i over gm1 (the exact lumped
+    P1 mass diagonal): B @ 1 == lump iff gm2 covers gm1 - the "no
+    intersection, no transfer" coverage check for this pair of spaces."""
+    i, j, vol, m1, _ = mortar_moments(gm1, gm2, tol)
+    d = gm1.dim
+    a1, b1 = _p1_affine_basis(gm1)
+    conn1 = np.stack(gm1.elements)
+    nloc = d + 1
+    rows, cols, vals = [], [], []
+    for k in range(nloc):
+        ak, bk = a1[i, k], b1[i, k]
+        rows.append(conn1[i, k])
+        cols.append(j)
+        vals.append(ak * vol + np.einsum("pd,pd->p", bk, m1))
+    n1 = gm1.vertices.shape[0]
+    n2 = len(gm2.elements)
+    B = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n1, n2),
+    )
+    B.sum_duplicates()
+    # Exact integral of each hat: each element contributes |K|/(d+1) to
+    # every one of its vertices.
+    p = gm1.vertices[conn1]
+    volk = np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / math.factorial(d)
+    lump = np.zeros(n1)
+    np.add.at(lump, conn1, (volk / nloc)[:, None])
+    return B, lump
+
+
 def mortar_rt0_couple(lvl1, lvl2, tol: float = 1e-12):
     """Vector RT0-RT0 mortar coupling B[face_i, face_j] =
     int phi_i . psi_j over the mesh intersection - the reference's
