@@ -27,6 +27,12 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
     p.add_argument("--sampler", default=None, choices=["pde", "analytic", "matern"])
     p.add_argument("--embedding", default=None,
                    choices=["none", "matching", "projection"])
+    p.add_argument("--projection-order", type=int, default=None,
+                   choices=[0, 1],
+                   help="mortar master-space order for --embedding "
+                        "projection: 0 = P0 L2 projection (default), 1 = "
+                        "through the P1 vertex space (higher-order "
+                        "L2MortarIntegrator analog)")
     p.add_argument("--refinements", type=int, default=None)
     p.add_argument("--agglomerate", action="store_true",
                    help="treat the mesh file as the FINEST mesh and build "
@@ -89,6 +95,7 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         "inflow_attr": _attr_vec(args.inflow_attr),
         "normalize_marginals": args.normalize_marginals,
         "coarse_operators": args.coarse_ops,
+        "projection_order": args.projection_order,
     }
     override = {k: v for k, v in override.items() if v is not None}
     if args.refinements is not None:

@@ -174,6 +174,13 @@ class ProblemConfig:
 
     # Embedding.
     embedding: str = "none"  # "none" | "matching" | "projection"
+    # Order of the mortar projection master space for embedding="projection":
+    # 0 = piecewise-constant L2 projection (reference parity, default);
+    # 1 = project through the original mesh's P1 vertex space with the
+    # exact mixed P1-P0 mortar coupling (the reference's higher-order
+    # L2MortarIntegrator surface, MortarIntegrator.hpp:19-75) and take
+    # exact cell averages - a smoother transfer of the same field.
+    projection_order: int = 0
     n_buffer: Tuple[int, ...] = (1,)
     # Mesh-file configs: path of the enlarged mesh. Defaults to the
     # reference's naming next to cfg.mesh: <stem>_embed.mesh (matching,

@@ -499,23 +499,49 @@ class UnstructuredProjectionSPDESampler(UnstructuredSPDESampler):
 
         self.orig_hierarchy = _as_hierarchy(orig_hierarchy)
         assert self.orig_hierarchy.nlevels == self.hierarchy.nlevels
+        self.projection_order = int(getattr(config, "projection_order", 0))
         self.G = []
         self.winv_orig = []
+        self._cell_verts = []  # order-1 path: (nc, d+1) vertex gather per level
         for l in range(self.orig_hierarchy.nlevels):
             om = self.orig_hierarchy.levels[l]
             em = self.hierarchy.levels[l]
-            G = mortar_p0_couple(om.mesh, em.mesh)
-            covered = np.asarray(G.sum(axis=1)).ravel()
-            if not np.allclose(covered, om.W, rtol=1e-8):
-                raise ValueError("No intersection, no transfer! (level %d)" % l)
-            self.G.append(pack_csr_to_ell(G, dtype))
-            self.winv_orig.append(jnp.asarray(1.0 / om.W, dtype=dtype))
+            if self.projection_order == 1:
+                # Higher-order master space (round-2 VERDICT item 9): the
+                # embedded P0 field is L2-projected onto the original
+                # mesh's P1 vertex space through the exact mixed mortar
+                # coupling (lumped P1 mass, so constants transfer exactly),
+                # then reduced to the P0 coefficient by exact cell
+                # averaging (mean of the d+1 vertex values on a simplex).
+                from parelagmc_tpu.transfer_integrators import mortar_p1_p0_couple
+
+                G, lump = mortar_p1_p0_couple(om.mesh, em.mesh)
+                covered = np.asarray(G.sum(axis=1)).ravel()
+                if not np.allclose(covered, lump, rtol=1e-8):
+                    raise ValueError(
+                        "No intersection, no transfer! (level %d)" % l)
+                self.G.append(pack_csr_to_ell(G, dtype))
+                self.winv_orig.append(jnp.asarray(1.0 / lump, dtype=dtype))
+                self._cell_verts.append(
+                    jnp.asarray(np.stack(om.mesh.elements), dtype=jnp.int32))
+            else:
+                G = mortar_p0_couple(om.mesh, em.mesh)
+                covered = np.asarray(G.sum(axis=1)).ravel()
+                if not np.allclose(covered, om.W, rtol=1e-8):
+                    raise ValueError(
+                        "No intersection, no transfer! (level %d)" % l)
+                self.G.append(pack_csr_to_ell(G, dtype))
+                self.winv_orig.append(jnp.asarray(1.0 / om.W, dtype=dtype))
+                self._cell_verts.append(None)
 
     def field_size(self, level: int) -> int:
         return self.orig_hierarchy.levels[level].n_s
 
     def project(self, level: int, s_embed: jnp.ndarray) -> jnp.ndarray:
-        return self.winv_orig[level] * ell_apply(self.G[level], s_embed)
+        s_v = self.winv_orig[level] * ell_apply(self.G[level], s_embed)
+        if self.projection_order == 1:
+            return jnp.mean(s_v[..., self._cell_verts[level]], axis=-1)
+        return s_v
 
     transfer = project  # reference: L2ProjectionPDESampler::Transfer
 

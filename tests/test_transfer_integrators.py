@@ -130,3 +130,42 @@ def test_rt0_mortar_transfers_constant_field_nonmatching():
     M1 = l1.mass_csr()
     proj = spla.spsolve(M1.tocsc(), B @ u2)
     np.testing.assert_allclose(proj, u1, rtol=1e-8, atol=1e-10)
+
+
+def test_p1_p0_mortar_oracle_same_mesh():
+    """On identical meshes, B[vertex, cell] = int_cell phi_vertex =
+    |K|/(d+1) for incident pairs and 0 otherwise, and the lumped diagonal
+    is the row sum (full coverage)."""
+    from parelagmc_tpu.transfer_integrators import mortar_p1_p0_couple
+
+    for name in ("square", "cube_tet"):
+        gm = read_mfem_mesh(f"{MESHES}/{name}.mesh")
+        B, lump = mortar_p1_p0_couple(gm, gm)
+        conn = np.stack(gm.elements)
+        d = gm.dim
+        p = gm.vertices[conn]
+        vol = np.abs(np.linalg.det(p[:, 1:] - p[:, :1])) / math.factorial(d)
+        import scipy.sparse as sp
+
+        rows = conn.T.ravel()
+        cols = np.tile(np.arange(conn.shape[0]), d + 1)
+        vals = np.repeat(vol[None, :] / (d + 1), d + 1, axis=0).ravel()
+        Bref = sp.csr_matrix((vals, (rows, cols)), shape=B.shape)
+        Bref.sum_duplicates()
+        np.testing.assert_allclose(B.toarray(), Bref.toarray(), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(B.sum(axis=1)).ravel(), lump, rtol=1e-12)
+
+
+def test_p1_p0_mortar_constant_exact_nonmatching():
+    """Lumped-mass P1 projection of a constant P0 field from an
+    independently generated non-matching mesh is exactly that constant
+    (partition of unity + full coverage)."""
+    from parelagmc_tpu.transfer_integrators import mortar_p1_p0_couple
+
+    g1 = read_mfem_mesh(f"{MESHES}/square.mesh")
+    g2 = read_mfem_mesh(f"{MESHES}/square_enlarge.mesh")
+    B, lump = mortar_p1_p0_couple(g1, g2)
+    c = 3.25
+    s = B @ np.full(len(g2.elements), c) / lump
+    np.testing.assert_allclose(s, c, rtol=1e-10)
