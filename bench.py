@@ -105,7 +105,7 @@ def main() -> None:
     calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_CALIBRATION.json")
     live_sec = 1.0 / _scipy_baseline(hier, solver, nmeas=3)
-    if "--recalibrate" in sys.argv or not os.path.exists(calib_path):
+    if "--recalibrate" in sys.argv:
         calib = {
             "cpu_sec_per_sample": round(live_sec, 4),
             "what": "single-core scipy sparse-LU fine+coarse saddle pair, "
@@ -114,9 +114,16 @@ def main() -> None:
         }
         with open(calib_path, "w") as f:
             json.dump(calib, f, indent=1)
-    else:
+    elif os.path.exists(calib_path):
         with open(calib_path) as f:
             calib = json.load(f)
+    else:
+        # No pin and not asked to create one: use the live measurement for
+        # THIS report but do not persist it - silently pinning a divisor
+        # measured on a possibly-loaded host would bake the very drift the
+        # pin exists to remove (review r3). The JSON marks the divisor
+        # unpinned so the reader knows it is load-sensitive.
+        calib = {"cpu_sec_per_sample": live_sec, "unpinned_live": True}
     pinned_sec = float(calib["cpu_sec_per_sample"])
     vs = sps * pinned_sec / 64.0
     print(

@@ -88,9 +88,14 @@ def main(argv=None):
         cfg.darcy_solver.name = "cg-schur-coefmg"
         cfg.darcy_solver.max_iterations = 150
         cfg.darcy_solver.relative_tolerance = 1e-6
-        # HBM-bound finest batch, MXU-sized coarse batches (16G v5e; the
-        # full grid's finest level is 4.5M Darcy dofs at any nlevels).
-        cfg.batch_size_per_level = [8] + [64] * (cfg.nlevels - 1)
+        # HBM-bound finest batch, throughput-sized coarse batches (16G
+        # v5e; the full grid's finest level is 4.5M Darcy dofs at any
+        # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
+        # ms/sample going 64 -> 128 (batch 256 exceeds HBM), level-2
+        # solve 7.3 -> 3.5 ms/sample going 64 -> 512. With the r3
+        # multilevel rates the optimal N_l allocation is coarse-heavy,
+        # so the coarse-level batches dominate total walltime.
+        cfg.batch_size_per_level = [8, 128] + [512] * (cfg.nlevels - 2)
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
     mgr.init_run([cfg.initial_samples] * cfg.nlevels)

@@ -90,13 +90,19 @@ def main(argv=None):
         level 0 exceeds the 16G chip (measured: 23.9G requested). Real
         MLMC allocates few samples to the finest level anyway (N_l ~
         Var/cost), so a smaller fine-level batch matches the estimator's
-        own schedule. Budget: 10G / (40 vectors * dofs * dtype). Measured
-        pair-step footprints on the 16G v5e: batch 64 -> 23.9G, batch 16
-        -> 15.84G (i.e. ~13G program-fixed + ~170MB/sample); batch 8 is
-        the largest power of two that compiles at level 0."""
+        own schedule; COARSE levels instead want the largest batch that
+        fits - with positive variance-decay rates the optimal N_l puts
+        most samples there, so their throughput dominates total MLMC
+        walltime. Budget: 12G / (40 vectors * dofs * dtype), capped at
+        512. Measured on the 16G v5e (r3): level-0 pair batch 64 ->
+        23.9G, 16 -> 15.84G, 8 compiles; level-1 pair 61 -> 32.5
+        ms/sample going batch 64 -> 128 (256 exceeds HBM); level-2
+        solve 7.3 -> 3.5 ms/sample going 64 -> 512."""
+        if solver.num_dofs(level) > 2_000_000:
+            return 8  # measured: largest batch that compiles at 4.5M dofs
         per_sample = 40 * solver.num_dofs(level) * dt_bytes
-        cap = max(8, int(10e9 / per_sample))
-        return min(cfg.batch_size, 1 << (cap.bit_length() - 1))
+        cap = max(8, int(12e9 / per_sample))
+        return min(512, 1 << (cap.bit_length() - 1))
 
     def timed(step, label, batch, prejitted=False, max_reps=None):
         reps = max(1, cfg.initial_samples // batch)

@@ -16,9 +16,12 @@ jitted consumer, or host-side accumulation after gather) lower to ICI
 collectives / gathers inserted by XLA.
 
 Spatial sharding of one realization's dof vector (the analog of the
-reference's domain decomposition) lives in parallel/spatial.py; it matters
-when a single fine level exceeds per-chip memory (SURVEY.md 5.7, e.g. the
-SPE10 finest level, HBM-capped near batch 8 on a 16G chip).
+reference's domain decomposition) lives in parallel/spatial_darcy.py
+(SpatialDarcy: the real Darcy Schur solve sharded along the mesh y axis,
+built from a DarcySolver level) with the generic-CSR prototype in
+parallel/spatial.py; it matters when a single fine level exceeds per-chip
+memory (SURVEY.md 5.7, e.g. the SPE10 finest level, HBM-capped near batch
+8 on a 16G chip).
 """
 
 from __future__ import annotations

@@ -189,6 +189,7 @@ class SpatialDarcy:
         max_iters: int = 300,
         rtol: float = 1e-6,
         axis: str = "sp",
+        ess: Optional[np.ndarray] = None,
     ):
         if devices is None:
             devices = jax.devices()
@@ -247,7 +248,7 @@ class SpatialDarcy:
 
         # Essential face masks as face grids; y grid keeps planes 0..ny-1
         # and marks every padded plane essential.
-        lvl_ess = self._ess_face_grids(mesh, ess_attr)
+        lvl_ess = self._ess_face_grids(mesh, ess_attr, ess)
         ess_x, ess_y, ess_z = lvl_ess
         ess_y = np.pad(
             np.asarray(ess_y), ((0, 0), (0, self.pad), (0, 0)),
@@ -300,12 +301,18 @@ class SpatialDarcy:
         self._jit_solve = None
 
     @staticmethod
-    def _ess_face_grids(mesh, ess_attr):
+    def _ess_face_grids(mesh, ess_attr, ess=None):
+        """Essential-face masks reshaped to per-axis grids. Pass the flat
+        `ess` mask when the caller already holds it (from_darcy does:
+        DarcyLevel.ess) - rebuilding the full MixedLevel at SPE10 scale
+        (3.4M faces) just for this mask costs seconds of host assembly
+        (review r3)."""
         nx, ny, nz = mesh.shape
-        from parelagmc_tpu.fem.assembly import build_mixed_level
+        if ess is None:
+            from parelagmc_tpu.fem.assembly import build_mixed_level
 
-        lvl = build_mixed_level(mesh)
-        ess = lvl.ess_faces(ess_attr)
+            ess = build_mixed_level(mesh).ess_faces(ess_attr)
+        ess = np.asarray(ess)
         fo = mesh.face_offsets
         return (
             ess[fo[0]: fo[1]].reshape(nz, ny, nx + 1),
@@ -332,6 +339,7 @@ class SpatialDarcy:
             dtype=solver.dtype,
             max_iters=solver.solver_cfg.max_iterations,
             rtol=solver.solver_cfg.relative_tolerance,
+            ess=np.asarray(L.ess),
             **kw,
         )
 

@@ -94,8 +94,8 @@ def build_hybrid_level(lvl, ess: np.ndarray, rhs: np.ndarray, obs: np.ndarray,
     """Static hybridization tensors for one SimplicialLevel (None when the
     level carries no simplicial element geometry, e.g. agglomerated coarse
     levels - those fall back to the MINRES path)."""
-    gm = lvl.mesh
-    if not hasattr(gm, "elements"):
+    gm = getattr(lvl, "mesh", None)  # agglomerated levels carry no mesh
+    if gm is None or not hasattr(gm, "elements"):
         return None
     try:
         Mt = element_outward_mass(gm)
@@ -127,25 +127,20 @@ def build_hybrid_level(lvl, ess: np.ndarray, rhs: np.ndarray, obs: np.ndarray,
     c_mask = (c_idx >= 0).astype(np.float64)
     c_idx = np.maximum(c_idx, 0)
 
-    # face -> (element, slot) pairs for the scatter-free gather-sum.
-    lam_src = np.zeros((n_lam, 2), dtype=np.int64)
-    lam_mask = np.zeros((n_lam, 2))
-    own_src = np.zeros(n_u, dtype=np.int64)
-    # Build face->pairs by scanning cell_faces once.
-    e_rep = np.repeat(np.arange(ne), nloc)
-    f_flat = lvl.cell_faces.ravel()
-    s_flat = np.tile(np.arange(nloc), ne)
-    order = np.argsort(f_flat, kind="stable")
-    f_sorted = f_flat[order]
-    src_sorted = (e_rep * nloc + s_flat)[order]
-    starts = np.searchsorted(f_sorted, np.arange(n_u))
-    counts = np.bincount(f_flat, minlength=n_u)
-    own_src[:] = src_sorted[starts]
+    # face -> (element, slot) pairs for the scatter-free gather-sum,
+    # derived from the level's own face_cells incidence (owner first,
+    # fem/simplicial.py:128-136) so the owner convention is defined in
+    # exactly one place (review r3). slot = position of the face in the
+    # adjacent cell's cell_faces row.
+    faces = np.arange(n_u)
+    e0 = lvl.face_cells[:, 0]
+    slot0 = np.argmax(lvl.cell_faces[e0] == faces[:, None], axis=1)
+    own_src = e0 * nloc + slot0
     fi = np.nonzero(interior)[0]
-    lam_src[:, 0] = src_sorted[starts[fi]]
-    lam_mask[:, 0] = 1.0
-    lam_src[:, 1] = src_sorted[np.minimum(starts[fi] + 1, src_sorted.size - 1)]
-    lam_mask[:, 1] = (counts[fi] == 2).astype(np.float64)
+    e1 = lvl.face_cells[fi, 1]  # interior faces carry both neighbors
+    slot1 = np.argmax(lvl.cell_faces[e1] == fi[:, None], axis=1)
+    lam_src = np.stack([own_src[fi], e1 * nloc + slot1], axis=1)
+    lam_mask = np.ones((n_lam, 2))
 
     # Element-local rhs: f_e = sign * rhs_u[face] (assumes rhs_u supported
     # on boundary faces - asserted), masked at essential slots.

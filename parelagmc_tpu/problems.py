@@ -130,8 +130,28 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
     else:
         raise ValueError(f"unknown sampler '{cfg.sampler_name}'")
 
+    _check_marginal_norm_support(cfg, sampler)
     solver = DarcySolver(hier, cfg, dtype, kinv_ref=kinv_ref)
     return Problem(cfg, hier, embed_hier, sampler, solver, dtype)
+
+
+def _check_marginal_norm_support(cfg: ProblemConfig, sampler) -> None:
+    """normalize_marginals is implemented by the tensor SPDE samplers
+    (samplers/pde.py: closed spectral form of the covariance diagonal);
+    every other sampler ignores it. Warn instead of silently dropping the
+    flag - its whole point is fixing the per-level marginal mismatch that
+    destroys MLMC variance decay (review r3)."""
+    from parelagmc_tpu.samplers.pde import _TensorSPDEBase
+
+    if cfg.normalize_marginals and not isinstance(sampler, _TensorSPDEBase):
+        import warnings
+
+        warnings.warn(
+            "normalize_marginals=True has no effect on "
+            f"{type(sampler).__name__} (only the tensor-grid SPDE "
+            "samplers implement exact marginal normalization); the field "
+            "keeps its raw per-level marginal variances"
+        )
 
 
 def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
@@ -239,5 +259,6 @@ def _build_from_mesh_file(cfg: ProblemConfig, dtype) -> Problem:
         sampler = KLSampler(hier, cov, cfg, dtype)
     else:
         raise ValueError(f"unknown sampler '{cfg.sampler_name}'")
+    _check_marginal_norm_support(cfg, sampler)
     solver = UnstructuredDarcySolver(hier, cfg, dtype)
     return Problem(cfg, hier, embed_hier, sampler, solver, dtype)

@@ -773,6 +773,27 @@ class UnstructuredDarcySolver:
         q, _, info_f = self.solve_fwd(level, w_f, x0=x0)
         return q, qc, info_f, info_c
 
+    def _coefmg_cycle(self, level: int, w: jnp.ndarray):
+        """Per-sample Galerkin coefficient-MG V-cycle r -> z for this
+        sample's masked mass diagonal, or None when the level has no coef
+        MG. Shared by the hybrid aux-space preconditioner and the MINRES
+        pressure-block preconditioner so the masking rule stays in one
+        place (review r3)."""
+        if self._coef_mg[level] is None:
+            return None
+        from parelagmc_tpu.ops.coef_multigrid import coef_mg_dinvs, coef_v_cycle
+
+        L = self._lv[level]
+        mg = self._coef_mg[level]
+        diag_w = L["m_diag"](w)
+        dinv0 = jnp.where(
+            (diag_w > 0) & ~L["ess"],
+            1.0 / jnp.where(diag_w == 0, 1.0, diag_w),
+            0.0,
+        )
+        dinvs = coef_mg_dinvs(mg, dinv0)
+        return lambda r: coef_v_cycle(mg, dinvs, r)
+
     def solve_fwd(
         self,
         level: int,
@@ -788,23 +809,7 @@ class UnstructuredDarcySolver:
         ):
             from parelagmc_tpu.physics.hybrid import hybrid_solve
 
-            aux_cycle = None
-            if self._coef_mg[level] is not None:
-                from parelagmc_tpu.ops.coef_multigrid import (
-                    coef_mg_dinvs,
-                    coef_v_cycle,
-                )
-
-                Lh = self._lv[level]
-                mg = self._coef_mg[level]
-                diag_w = Lh["m_diag"](w)
-                dinv0 = jnp.where(
-                    (diag_w > 0) & ~Lh["ess"],
-                    1.0 / jnp.where(diag_w == 0, 1.0, diag_w),
-                    0.0,
-                )
-                dinvs = coef_mg_dinvs(mg, dinv0)
-                aux_cycle = lambda r: coef_v_cycle(mg, dinvs, r)
+            aux_cycle = self._coefmg_cycle(level, w)
             Q, info, pe = hybrid_solve(
                 self._hybrid[level],
                 w,
@@ -832,23 +837,11 @@ class UnstructuredDarcySolver:
 
         dM = jnp.where(ess, 1.0, L["m_diag"](w))
         inv_dM = 1.0 / dM
-        if self._coef_mg[level] is not None:
-            from parelagmc_tpu.ops.coef_multigrid import (
-                coef_mg_dinvs,
-                coef_v_cycle,
-            )
-
-            mg = self._coef_mg[level]
-            diag_w = L["m_diag"](w)
-            dinv0 = jnp.where(
-                (diag_w > 0) & ~ess,
-                1.0 / jnp.where(diag_w == 0, 1.0, diag_w),
-                0.0,
-            )
-            dinvs = coef_mg_dinvs(mg, dinv0)
+        coefmg_cycle = self._coefmg_cycle(level, w)
+        if coefmg_cycle is not None:
 
             def prec(r):
-                zp = coef_v_cycle(mg, dinvs, r[..., n_u:])
+                zp = coefmg_cycle(r[..., n_u:])
                 return jnp.concatenate([r[..., :n_u] * inv_dM, zp], axis=-1)
 
         elif self._schur_mg[level] is not None:

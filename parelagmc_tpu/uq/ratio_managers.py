@@ -270,6 +270,16 @@ class BayesRatioManager:
         self.level_nsamples[:] = 0
         self.level_nsamples_missing[:] = 0
         self.init_run([self.init_nsamples] * self.nlevels)
+        self._adaptive_loop()
+        if self.verbose:
+            print(self.show_me())
+        return self.estimate
+
+    def _adaptive_loop(self) -> None:
+        """Grow per-level batches toward the missing-samples target until
+        the ML estimator variance meets ratio * eps^2. Shared by run() and
+        resume() so checkpointed runs follow the identical schedule
+        (review r3)."""
         grain = [0] * self.nlevels
         while self.ml_estimator_variance > self.ratio * self.eps2:
             for l in range(self.nlevels):
@@ -279,9 +289,6 @@ class BayesRatioManager:
                     + int(self.level_nsamples_missing[l]) // 10,
                 )
             self.init_run(grain)
-        if self.verbose:
-            print(self.show_me())
-        return self.estimate
 
     @property
     def estimate(self) -> float:
@@ -416,15 +423,7 @@ class BayesRatioManager:
     def resume(self, path: str) -> float:
         """Load a checkpoint and continue the adaptive run to the target."""
         self.load_state(path)
-        grain = [0] * self.nlevels
-        while self.ml_estimator_variance > self.ratio * self.eps2:
-            for l in range(self.nlevels):
-                grain[l] = min(
-                    int(self.level_nsamples_missing[l]),
-                    self.init_nsamples + grain[l]
-                    + int(self.level_nsamples_missing[l]) // 10,
-                )
-            self.init_run(grain)
+        self._adaptive_loop()
         return self.estimate
 
     # -- reporting --------------------------------------------------------------------

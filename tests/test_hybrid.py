@@ -129,3 +129,26 @@ def test_hybrid_pair_and_manager_runs():
     assert np.isfinite(mgr.eY).all()
     assert mgr.consistency.max() < 1.0
     mgr.close()
+
+
+def test_hybrid_cg_agglomerated_falls_back():
+    """Agglomerated coarse levels carry no simplicial element geometry, so
+    hybrid-cg must construct with hybridization on geometric levels only
+    and fall back to MINRES elsewhere instead of crashing (review r3)."""
+    import jax
+
+    from parelagmc_tpu.fem.agglomeration import build_agglomerated_hierarchy
+
+    gm = read_mfem_mesh(MESH)
+    label_box_boundaries_gm(gm)
+    hier = build_agglomerated_hierarchy(gm, 2, coarsening_factor=8)
+    cfg = ProblemConfig(refinements=1, dtype="float64")
+    cfg.darcy_solver.name = "hybrid-cg"
+    cfg.darcy_solver.relative_tolerance = 1e-8
+    cfg.darcy_solver.max_iterations = 2000
+    solver = UnstructuredDarcySolver(hier, cfg, jnp.float64)
+    assert solver._hybrid[0] is not None  # fine level is geometric
+    assert solver._hybrid[1] is None  # agglomerated level: MINRES fallback
+    w = jnp.ones((2, hier.levels[1].n_s), jnp.float64)
+    q, _, info = solver.solve_fwd(1, w)
+    assert np.isfinite(np.asarray(q)).all()
