@@ -229,3 +229,27 @@ def test_projection_order_driver_flag():
     cfg = parse_config(["--projection-order", "1"])
     assert cfg.projection_order == 1
     assert parse_config([]).projection_order == 0
+
+
+def test_build_problem_projection_order1_mesh_file():
+    """Driver-level wiring: build_problem on a mesh-file config with
+    embedding='projection' and projection_order=1 constructs the P1-path
+    sampler and produces a finite QoI through the full stack."""
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh=f"{MESHES}/cube_tet.mesh",
+        embedding="projection",
+        projection_order=1,
+        refinements=1,
+        correlation_length=0.3,
+        variance=0.25,
+        dtype="float64",
+    )
+    prob = build_problem(cfg)
+    assert isinstance(prob.sampler, UnstructuredProjectionSPDESampler)
+    assert prob.sampler.projection_order == 1
+    q, _, _ = prob.solver.solve_fwd(
+        0, prob.sampler.eval(0, prob.sampler.sample(0, jax.random.PRNGKey(1), 4))
+    )
+    assert np.isfinite(np.asarray(q)).all()
