@@ -122,6 +122,22 @@ class SolverConfig:
     smoother_iterations: int = 2
     chebyshev_order: int = 3
     coarse_dense_cutoff: int = 5000  # dense-factorize coarsest <= this size
+    # Per-sample coefficient MG (cg-schur-coefmg) smoother: 0 keeps the
+    # damped-Jacobi V(2,2) cycle; k > 0 switches to order-k Chebyshev
+    # accelerated Jacobi sweeps (same operator applications per sweep,
+    # stronger upper-spectrum damping - see ops/coef_multigrid.py).
+    coefmg_cheby_order: int = 0
+    coefmg_cheby_lo: float = 0.25
+    # "auto": tensor-product meshes use the slicing-only structured MG
+    # (ops/coef_multigrid_structured.py); "gather": force the generic
+    # gather-table implementation (oracle / unstructured semantics).
+    coefmg_impl: str = "auto"
+    # Number of V-cycles composed per preconditioner application
+    # (z = 2Vr - VSVr for 2): each CG iteration costs one EXACT Schur
+    # apply (batched tridiagonal M(w)^{-1}, the expensive part at SPE10
+    # scale) regardless, so spending more cheap gather-stencil MG work per
+    # iteration to cut the iteration count is a net win at scale.
+    coefmg_cycles: int = 1
 
 
 @dataclass

@@ -59,6 +59,14 @@ class CoefMG(NamedTuple):
     levels: Tuple[CoefMGLevel, ...]
     omega: float
     coarse_sweeps: int
+    # Smoother: 0 = damped Jacobi (omega), k > 0 = order-k Chebyshev
+    # accelerated Jacobi on the interval [cheby_lo * 2, 2] of D^{-1} S
+    # (lambda_max(D^{-1}S) < 2 for these M-matrix stencils; see module
+    # docstring). Same operator applications per sweep as Jacobi, far
+    # stronger damping of the upper spectrum - the standard
+    # accelerator-era MG smoother (hypre/AMGX default).
+    cheby_order: int = 0
+    cheby_lo: float = 0.25
 
 
 # -- host construction --------------------------------------------------------
@@ -112,6 +120,8 @@ def build_coef_mg(
     cutoff: int = 5000,
     coarse_sweeps: int = 8,
     omega: float = 0.8,
+    cheby_order: int = 0,
+    cheby_lo: float = 0.25,
 ) -> CoefMG:
     """Static index tables for the per-sample Galerkin Schur MG below the
     given (MLMC-level) mesh. The per-sample values enter at apply time as
@@ -173,7 +183,11 @@ def build_coef_mg(
             )
         )
     return CoefMG(
-        levels=tuple(levels), omega=float(omega), coarse_sweeps=int(coarse_sweeps)
+        levels=tuple(levels),
+        omega=float(omega),
+        coarse_sweeps=int(coarse_sweeps),
+        cheby_order=int(cheby_order),
+        cheby_lo=float(cheby_lo),
     )
 
 
@@ -326,26 +340,61 @@ def _jacobi_diag(lvl: CoefMGLevel, dinv):
     return jnp.where(diag > 0, diag, 1.0)
 
 
+def _cheb_smooth(mg: CoefMG, lvl: CoefMGLevel, dinv, idiag, b, x):
+    """Order-k Chebyshev(Jacobi) smoothing sweep for x ~ S^{-1} b on the
+    spectral window [cheby_lo * 2, 2] of D^{-1} S (Saad alg. 12.1 with the
+    diagonal preconditioner folded in). Self-adjoint in the S inner
+    product - a fixed polynomial p(D^{-1}S) D^{-1} with symmetric D - so
+    the V-cycle stays an SPD preconditioner for CG. Pass x=None for a
+    zero initial iterate (saves one operator application)."""
+    lam_max = 2.0
+    lam_min = mg.cheby_lo * lam_max
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if x is None:
+        r = b
+        x = jnp.zeros_like(b)
+    else:
+        r = b - _s_apply(lvl, dinv, x)
+    d = (1.0 / theta) * idiag * r
+    for _ in range(mg.cheby_order - 1):
+        x = x + d
+        r = r - _s_apply(lvl, dinv, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (idiag * r)
+        rho = rho_new
+    return x + d
+
+
 def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0):
-    """One V(sweeps, sweeps) cycle with the per-sample hierarchy."""
+    """One V(sweeps, sweeps) cycle with the per-sample hierarchy (Jacobi
+    smoothing), or V(cheby_order, cheby_order) when mg.cheby_order > 0."""
     lvl = mg.levels[level]
     dinv = dinvs[level]
     idiag = 1.0 / _jacobi_diag(lvl, dinv)
+    cheby = mg.cheby_order > 0
     if level == len(mg.levels) - 1:
         x = mg.omega * idiag * b
         for _ in range(mg.coarse_sweeps - 1):
             x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
         return x
-    # First pre-sweep from x = 0 in closed form (skips one operator
-    # application per level per cycle; advisor finding r2).
-    x = mg.omega * idiag * b
-    for _ in range(sweeps - 1):
-        x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
+    if cheby:
+        x = _cheb_smooth(mg, lvl, dinv, idiag, b, None)
+    else:
+        # First pre-sweep from x = 0 in closed form (skips one operator
+        # application per level per cycle; advisor finding r2).
+        x = mg.omega * idiag * b
+        for _ in range(sweeps - 1):
+            x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
     r = b - _s_apply(lvl, dinv, x)
     nxt = mg.levels[level + 1]
     rc = _gather_sum(r, nxt.cell_src, nxt.cell_src_mask)
     xc = coef_v_cycle(mg, dinvs, rc, sweeps, level + 1)
     x = x + jnp.take(xc, nxt.parent, axis=-1)
+    if cheby:
+        return _cheb_smooth(mg, lvl, dinv, idiag, b, x)
     for _ in range(sweeps):
         x = x + mg.omega * idiag * (b - _s_apply(lvl, dinv, x))
     return x

@@ -1,0 +1,303 @@
+"""Per-sample Galerkin Schur multigrid, structured-grid specialization.
+
+Mathematically identical to ops/coef_multigrid.py (same Galerkin face-sum
+identity, same V-cycle / smoothers - see that module's docstring for the
+derivation and the reference citation), but every device operation is a
+static SLICE / RESHAPE / PAD instead of a gather:
+
+* the face-form stencil apply S(w) x becomes per-axis zero-padded
+  first differences (flux t_k = dinv_k (x_{k-1} - x_k)) followed by the
+  adjoint difference (S x)_i = t_{i+1} - t_i,
+* the Jacobi diagonal is d_i + d_{i+1} accumulated per axis,
+* cell restriction / prolongation are per-axis group sums / repeats
+  (groups of 2 with a trailing 2-or-3 group - exactly
+  fem/hierarchy.derefine_axis's coarsening pattern),
+* the per-sample hierarchy setup (coarse dinv) selects the coarse face
+  planes (static indices) and group-sums the transverse directions.
+
+Why this exists: measured on the real TPU at SPE10 level 0 (1.12M cells,
+batch 8), the gather-based V(2,2) cycle costs ~550 ms/call - two orders of
+magnitude above its bandwidth bound - because large take()s along the dof
+axis defeat XLA's TPU vectorizer. The slicing formulation is pure VPU
+work at HBM speed. The generic module remains the oracle (bit-compatible
+up to float reassociation) and the fallback for unstructured/agglomerated
+meshes (build_coef_mg_graph).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class StructMGLevel(NamedTuple):
+    shape: Tuple[int, ...]  # cells per mesh axis (x first)
+    # Per mesh axis: number of fine cells on the PREVIOUS (finer) level
+    # mapped onto this level's cells as [2]*(m-1) + [tail] groups
+    # (fem/hierarchy.derefine_axis); () on level 0.
+    fine_shape: Tuple[int, ...] = ()
+
+
+class StructCoefMG(NamedTuple):
+    levels: Tuple[StructMGLevel, ...]
+    face_offsets: Tuple[int, ...]  # level-0 flat face-vector offsets
+    omega: float
+    coarse_sweeps: int
+    cheby_order: int = 0
+    cheby_lo: float = 0.25
+
+
+def build_struct_coef_mg(
+    mesh,
+    cutoff: int = 5000,
+    coarse_sweeps: int = 8,
+    omega: float = 0.8,
+    cheby_order: int = 0,
+    cheby_lo: float = 0.25,
+) -> StructCoefMG:
+    """MG level shapes below `mesh` (a StructuredMesh), derefining by 2 per
+    axis until <= cutoff cells - the same ladder as build_coef_mg. The
+    per-sample coefficient and all boundary/essential masking enter at
+    solve time through dinv0 (the masked mass-diagonal inverse)."""
+    from parelagmc_tpu.fem.hierarchy import derefine_axis
+    from parelagmc_tpu.mesh.structured import StructuredMesh
+
+    meshes = [mesh]
+    while meshes[-1].num_cells > cutoff and max(meshes[-1].shape) > 2:
+        meshes.append(StructuredMesh([derefine_axis(a) for a in meshes[-1].axes]))
+    levels = [StructMGLevel(shape=tuple(int(s) for s in meshes[0].shape))]
+    for l in range(1, len(meshes)):
+        levels.append(
+            StructMGLevel(
+                shape=tuple(int(s) for s in meshes[l].shape),
+                fine_shape=tuple(int(s) for s in meshes[l - 1].shape),
+            )
+        )
+    return StructCoefMG(
+        levels=tuple(levels),
+        face_offsets=tuple(int(x) for x in mesh.face_offsets),
+        omega=float(omega),
+        coarse_sweeps=int(coarse_sweeps),
+        cheby_order=int(cheby_order),
+        cheby_lo=float(cheby_lo),
+    )
+
+
+# -- static axis helpers ------------------------------------------------------
+#
+# Array layout convention (CLAUDE.md): flat cell/face vectors are x-fastest,
+# grids reshape to (..., z, y, x); mesh axis a lives at array axis
+# ndim - 1 - a.
+
+
+def _arr_ax(x: jnp.ndarray, d: int, a: int) -> int:
+    return x.ndim - 1 - a
+
+
+def _tail(n_f: int, n_c: int) -> int:
+    """Size of the trailing group when n_f fine cells coarsen to n_c."""
+    return n_f - 2 * (n_c - 1)
+
+
+def _group_sum(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
+    """Sum groups of [2]*(n_c-1) + [tail] along `axis` (slices only)."""
+    if n_c == n_f:  # passthrough axis (already 1-2 cells)
+        return x
+    t = _tail(n_f, n_c)
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : 2 * (n_c - 1)]
+    main = main.reshape(main.shape[:-1] + (n_c - 1, 2)).sum(axis=-1)
+    tail = x[..., 2 * (n_c - 1):].sum(axis=-1, keepdims=True)
+    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
+
+
+def _repeat_groups(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
+    """Adjoint-structure of _group_sum: repeat each of the n_c entries of
+    `x` along `axis` over its [2]*(n_c-1) + [tail] group, yielding n_f."""
+    if n_c == n_f:
+        return x
+    t = _tail(n_f, n_c)
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : n_c - 1]
+    main = jnp.broadcast_to(
+        main[..., None], main.shape + (2,)
+    ).reshape(main.shape[:-1] + (2 * (n_c - 1),))
+    tail = jnp.broadcast_to(x[..., n_c - 1:], x.shape[:-1] + (t,))
+    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
+
+
+def _plane_select(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
+    """Coarse face planes of one axis: fine planes 0, 2, ..., 2(n_c-1), n_f
+    (static strided slice + the final plane)."""
+    if n_c == n_f:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : 2 * (n_c - 1) + 1: 2]
+    last = x[..., n_f:]
+    return jnp.moveaxis(jnp.concatenate([main, last], axis=-1), -1, axis)
+
+
+# -- per-sample hierarchy setup ----------------------------------------------
+
+
+def struct_mg_dinvs(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
+    """Per-level tuples of per-axis face-grid dinv arrays from the flat
+    masked mass-diagonal inverse (batch, n_u). Level-0 reshape is free;
+    each coarser level = plane-select along the face axis + transverse
+    group sums (the Galerkin face-sum identity, slices only)."""
+    d = len(mg.levels[0].shape)
+    batch = dinv0_flat.shape[:-1]
+    shape0 = mg.levels[0].shape
+    axes0 = []
+    for a in range(d):
+        fshape = list(shape0)
+        fshape[a] += 1
+        seg = dinv0_flat[..., mg.face_offsets[a]: mg.face_offsets[a + 1]]
+        axes0.append(seg.reshape(batch + tuple(fshape[::-1])))
+    out = [tuple(axes0)]
+    for lvl in mg.levels[1:]:
+        prev = out[-1]
+        cur = []
+        for a in range(d):
+            x = prev[a]
+            x = _plane_select(
+                x, _arr_ax(x, d, a), lvl.fine_shape[a], lvl.shape[a]
+            )
+            for b in range(d):
+                if b != a:
+                    x = _group_sum(
+                        x, _arr_ax(x, d, b), lvl.fine_shape[b], lvl.shape[b]
+                    )
+            cur.append(x)
+        out.append(tuple(cur))
+    return out
+
+
+# -- device apply -------------------------------------------------------------
+
+
+def _s_apply_grid(dinv_axes, x: jnp.ndarray) -> jnp.ndarray:
+    """S x on the cell grid: per axis, flux t_k = d_k (x_{k-1} - x_k) with
+    zero-padded exterior, then (S x)_i += t_{i+1} - t_i. Matches the
+    face-form operator of ops/coef_multigrid._s_apply exactly (per-face
+    sign flips cancel; boundary faces see the zero pad; essential faces
+    carry dinv = 0)."""
+    d = len(dinv_axes)
+    y = None
+    for a in range(d):
+        ax = _arr_ax(x, d, a)
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (1, 1)
+        xp = jnp.pad(x, pad)
+        lo = [slice(None)] * x.ndim
+        hi = [slice(None)] * x.ndim
+        lo[ax] = slice(0, -1)
+        hi[ax] = slice(1, None)
+        t = dinv_axes[a] * (xp[tuple(lo)] - xp[tuple(hi)])
+        contrib = t[tuple(hi)] - t[tuple(lo)]
+        y = contrib if y is None else y + contrib
+    return y
+
+
+def _jdiag_grid(dinv_axes, d: int) -> jnp.ndarray:
+    diag = None
+    for a in range(d):
+        da = dinv_axes[a]
+        ax = _arr_ax(da, d, a)
+        lo = [slice(None)] * da.ndim
+        hi = [slice(None)] * da.ndim
+        lo[ax] = slice(0, -1)
+        hi[ax] = slice(1, None)
+        c = da[tuple(lo)] + da[tuple(hi)]
+        diag = c if diag is None else diag + c
+    return jnp.where(diag > 0, diag, 1.0)
+
+
+def _restrict_cells(x: jnp.ndarray, lvl: StructMGLevel, d: int) -> jnp.ndarray:
+    for a in range(d):
+        x = _group_sum(x, _arr_ax(x, d, a), lvl.fine_shape[a], lvl.shape[a])
+    return x
+
+
+def _prolong_cells(x: jnp.ndarray, lvl: StructMGLevel, d: int) -> jnp.ndarray:
+    for a in range(d):
+        x = _repeat_groups(x, _arr_ax(x, d, a), lvl.fine_shape[a], lvl.shape[a])
+    return x
+
+
+def _cheb_smooth_grid(mg, dinv_axes, idiag, b, x):
+    """Order-k Chebyshev(Jacobi) sweep on [cheby_lo*2, 2] of D^{-1}S
+    (mirrors ops/coef_multigrid._cheb_smooth)."""
+    lam_max = 2.0
+    lam_min = mg.cheby_lo * lam_max
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    if x is None:
+        r = b
+        x = jnp.zeros_like(b)
+    else:
+        r = b - _s_apply_grid(dinv_axes, x)
+    dvec = (1.0 / theta) * idiag * r
+    for _ in range(mg.cheby_order - 1):
+        x = x + dvec
+        r = r - _s_apply_grid(dinv_axes, dvec)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        dvec = (rho_new * rho) * dvec + (2.0 * rho_new / delta) * (idiag * r)
+        rho = rho_new
+    return x + dvec
+
+
+def _v_cycle_grid(mg: StructCoefMG, dinvs, b, sweeps: int, level: int):
+    d = len(mg.levels[0].shape)
+    dinv_axes = dinvs[level]
+    idiag = 1.0 / _jdiag_grid(dinv_axes, d)
+    cheby = mg.cheby_order > 0
+    if level == len(mg.levels) - 1:
+        x = mg.omega * idiag * b
+        for _ in range(mg.coarse_sweeps - 1):
+            x = x + mg.omega * idiag * (b - _s_apply_grid(dinv_axes, x))
+        return x
+    if cheby:
+        x = _cheb_smooth_grid(mg, dinv_axes, idiag, b, None)
+    else:
+        x = mg.omega * idiag * b
+        for _ in range(sweeps - 1):
+            x = x + mg.omega * idiag * (b - _s_apply_grid(dinv_axes, x))
+    r = b - _s_apply_grid(dinv_axes, x)
+    nxt = mg.levels[level + 1]
+    rc = _restrict_cells(r, nxt, d)
+    xc = _v_cycle_grid(mg, dinvs, rc, sweeps, level + 1)
+    x = x + _prolong_cells(xc, nxt, d)
+    if cheby:
+        return _cheb_smooth_grid(mg, dinv_axes, idiag, b, x)
+    for _ in range(sweeps):
+        x = x + mg.omega * idiag * (b - _s_apply_grid(dinv_axes, x))
+    return x
+
+
+# -- flat-vector API (mirrors the generic module) -----------------------------
+
+
+def struct_s_apply(mg: StructCoefMG, dinvs, x_flat: jnp.ndarray) -> jnp.ndarray:
+    """Fine-level S x for flat (batch, n_s) vectors (used by composed-cycle
+    preconditioners)."""
+    shape0 = mg.levels[0].shape
+    batch = x_flat.shape[:-1]
+    xg = x_flat.reshape(batch + tuple(shape0[::-1]))
+    return _s_apply_grid(dinvs[0], xg).reshape(batch + (-1,))
+
+
+def struct_v_cycle(
+    mg: StructCoefMG, dinvs, b_flat: jnp.ndarray, sweeps: int = 2
+) -> jnp.ndarray:
+    """One V(sweeps, sweeps) cycle (or Chebyshev when cheby_order > 0) for
+    flat (batch, n_s) residuals."""
+    shape0 = mg.levels[0].shape
+    batch = b_flat.shape[:-1]
+    bg = b_flat.reshape(batch + tuple(shape0[::-1]))
+    xg = _v_cycle_grid(mg, dinvs, bg, sweeps, 0)
+    return xg.reshape(batch + (-1,))

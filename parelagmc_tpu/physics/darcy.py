@@ -77,6 +77,12 @@ class DarcyLevel(NamedTuple):
     sbar_dinv: object  # Optional[(n_s,)]: 1/diag(S_bar) (cg-schur-diag variant)
     kinv_cell: object = None  # Optional[(n_s,)]: per-cell geomean of kinv_ref
     coef_mg: object = None  # Optional[CoefMG]: per-sample Galerkin Schur MG
+    # Structured-incidence tables (tensor meshes): (shape, face_offsets,
+    # per-axis float masks in face-grid layout). B/B^T become zero-padded
+    # difference stencils (slices) instead of gathers - measured ~50x
+    # cheaper at SPE10 level 0, where 3.4M-index takes defeat the TPU
+    # vectorizer (same finding as ops/coef_multigrid_structured.py).
+    b_struct: object = None
 
 
 def _assemble_sbar(mesh, kinv, ess_attr):
@@ -104,9 +110,27 @@ def _assemble_sbar(mesh, kinv, ess_attr):
 
 
 def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
-    """Static tables for the per-sample Galerkin Schur MG (see
-    ops/coef_multigrid.py); the sample's coefficient enters at solve time
-    through the masked mass diagonal."""
+    """Static structure for the per-sample Galerkin Schur MG; the sample's
+    coefficient enters at solve time through the masked mass diagonal.
+
+    Tensor-product meshes get the slicing-only specialization
+    (ops/coef_multigrid_structured.py - measured ~50x cheaper V-cycles
+    at SPE10 level 0 than the gather formulation, which defeats the TPU
+    vectorizer at millions of faces); coefmg_impl="gather" forces the
+    generic tables (oracle / benchmarking)."""
+    impl = getattr(solver_cfg, "coefmg_impl", "auto")
+    if impl != "gather" and hasattr(mesh, "axes"):
+        from parelagmc_tpu.ops.coef_multigrid_structured import (
+            build_struct_coef_mg,
+        )
+
+        return build_struct_coef_mg(
+            mesh,
+            cutoff=solver_cfg.coarse_dense_cutoff,
+            coarse_sweeps=max(1, solver_cfg.mg_coarse_sweeps),
+            cheby_order=getattr(solver_cfg, "coefmg_cheby_order", 0),
+            cheby_lo=getattr(solver_cfg, "coefmg_cheby_lo", 0.25),
+        )
     from parelagmc_tpu.ops.coef_multigrid import build_coef_mg
 
     return build_coef_mg(
@@ -115,6 +139,8 @@ def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
         dtype=dtype,
         cutoff=solver_cfg.coarse_dense_cutoff,
         coarse_sweeps=max(1, solver_cfg.mg_coarse_sweeps),
+        cheby_order=getattr(solver_cfg, "coefmg_cheby_order", 0),
+        cheby_lo=getattr(solver_cfg, "coefmg_cheby_lo", 0.25),
     )
 
 
@@ -418,6 +444,7 @@ class DarcySolver:
                         if config.darcy_solver.name == "cg-schur-coefmg"
                         else None
                     ),
+                    b_struct=self._build_b_struct(lvl.mesh, ess, dtype),
                 )
             )
         self.solver_cfg = config.darcy_solver
@@ -453,6 +480,27 @@ class DarcySolver:
             kinv = np.ones((lvl.n_s, self.ndim))
         return np.maximum(
             _assemble_sbar(lvl.mesh, kinv, self._ess_attr).diagonal(), 1e-300
+        )
+
+    @staticmethod
+    def _build_b_struct(mesh, ess: np.ndarray, dtype):
+        """Per-axis essential-mask face grids for the slicing-form B/B^T
+        (tensor meshes only; see DarcyLevel.b_struct)."""
+        if not hasattr(mesh, "axes"):
+            return None
+        d = mesh.dim
+        masks = []
+        for a in range(d):
+            fshape = list(mesh.shape)
+            fshape[a] += 1
+            m = (~ess[mesh.face_offsets[a]: mesh.face_offsets[a + 1]]).astype(
+                np.float64
+            ).reshape(tuple(fshape[::-1]))
+            masks.append(jnp.asarray(m, dtype=dtype))
+        return (
+            tuple(int(s) for s in mesh.shape),
+            tuple(int(x) for x in mesh.face_offsets),
+            tuple(masks),
         )
 
     @staticmethod
@@ -525,6 +573,28 @@ class DarcySolver:
         return self._nnz[level]
 
     def _apply_B(self, L: DarcyLevel, u: jnp.ndarray) -> jnp.ndarray:
+        """Divergence B u. Tensor meshes use the slicing stencil: the masked
+        per-axis face grid t has (B u)_i = t_{i+1} - t_i along each axis
+        (cell_signs = +1 hi face / -1 lo face, assembly.py:166)."""
+        if L.b_struct is not None:
+            shape, offs, masks = L.b_struct
+            d = len(shape)
+            batch = u.shape[:-1]
+            y = None
+            for a in range(d):
+                fshape = list(shape)
+                fshape[a] += 1
+                t = u[..., offs[a]: offs[a + 1]].reshape(
+                    batch + tuple(fshape[::-1])
+                ) * masks[a]
+                ax = t.ndim - 1 - a
+                lo = [slice(None)] * t.ndim
+                hi = [slice(None)] * t.ndim
+                lo[ax] = slice(0, -1)
+                hi[ax] = slice(1, None)
+                contrib = t[tuple(hi)] - t[tuple(lo)]
+                y = contrib if y is None else y + contrib
+            return y.reshape(batch + (-1,))
         return jnp.sum(
             jnp.take(u, L.cell_faces.reshape(-1), axis=-1).reshape(
                 u.shape[:-1] + L.cell_faces.shape
@@ -534,6 +604,27 @@ class DarcySolver:
         )
 
     def _apply_Bt(self, L: DarcyLevel, p: jnp.ndarray) -> jnp.ndarray:
+        """Gradient-form B^T p: (B^T p)_f = p_lo - p_hi (face_signs slot
+        order, assembly.py:219-220), zero outside the domain, essential
+        rows masked."""
+        if L.b_struct is not None:
+            shape, offs, masks = L.b_struct
+            d = len(shape)
+            batch = p.shape[:-1]
+            pg = p.reshape(batch + tuple(shape[::-1]))
+            outs = []
+            for a in range(d):
+                ax = pg.ndim - 1 - a
+                pad = [(0, 0)] * pg.ndim
+                pad[ax] = (1, 1)
+                pp = jnp.pad(pg, pad)
+                lo = [slice(None)] * pg.ndim
+                hi = [slice(None)] * pg.ndim
+                lo[ax] = slice(0, -1)
+                hi[ax] = slice(1, None)
+                t = masks[a] * (pp[tuple(lo)] - pp[tuple(hi)])
+                outs.append(t.reshape(batch + (-1,)))
+            return jnp.concatenate(outs, axis=-1)
         return jnp.sum(
             jnp.take(p, L.face_cells.reshape(-1), axis=-1).reshape(
                 p.shape[:-1] + L.face_cells.shape
@@ -647,16 +738,46 @@ class DarcySolver:
             # dependence is the per-level dinv face vectors, computed once
             # per solve from this sample's masked mass diagonal (the TPU
             # analog of the reference's per-sample BoomerAMG setup,
-            # src/DarcySolver.cpp:562-649). See ops/coef_multigrid.py.
-            from parelagmc_tpu.ops.coef_multigrid import (
-                coef_mg_dinvs,
-                coef_v_cycle,
+            # src/DarcySolver.cpp:562-649). See ops/coef_multigrid.py and
+            # the structured slicing specialization in
+            # ops/coef_multigrid_structured.py.
+            from parelagmc_tpu.ops.coef_multigrid_structured import (
+                StructCoefMG,
+                struct_mg_dinvs,
+                struct_s_apply,
+                struct_v_cycle,
             )
 
             diag_w = L.m_diag(w)
             dinv0 = jnp.where(diag_w > 0, 1.0 / jnp.where(diag_w == 0, 1.0, diag_w), 0.0)
-            dinvs = coef_mg_dinvs(L.coef_mg, dinv0)
-            prec = lambda r: coef_v_cycle(L.coef_mg, dinvs, r)
+            if isinstance(L.coef_mg, StructCoefMG):
+                dinvs = struct_mg_dinvs(L.coef_mg, dinv0)
+                cycle = lambda r: struct_v_cycle(L.coef_mg, dinvs, r)
+                s_fine = lambda z: struct_s_apply(L.coef_mg, dinvs, z)
+            else:
+                from parelagmc_tpu.ops.coef_multigrid import (
+                    _s_apply,
+                    coef_mg_dinvs,
+                    coef_v_cycle,
+                )
+
+                dinvs = coef_mg_dinvs(L.coef_mg, dinv0)
+                cycle = lambda r: coef_v_cycle(L.coef_mg, dinvs, r)
+                s_fine = lambda z: _s_apply(
+                    L.coef_mg.levels[0], dinvs[0], z
+                )
+            ncyc = max(1, getattr(self.solver_cfg, "coefmg_cycles", 1))
+            if ncyc == 1:
+                prec = cycle
+            else:
+                # Composed cycles stay a fixed symmetric polynomial in the
+                # MG's own face-form operator (linear + SPD, CG-safe):
+                # z_{k+1} = z_k + V(r - S z_k).
+                def prec(r):
+                    z = cycle(r)
+                    for _ in range(ncyc - 1):
+                        z = z + cycle(r - s_fine(z))
+                    return z
         elif L.sbar_dinv is not None:
             # Diagonal of the static variable-coefficient Schur complement:
             # weaker than MG but a far smaller program ("cg-schur-diag").

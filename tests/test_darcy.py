@@ -187,3 +187,67 @@ def test_coefmg_solver_matches_exact_schur():
     np.testing.assert_allclose(
         results["cg-schur-coefmg"][0], results["cg-schur"][0], rtol=1e-7
     )
+
+
+def test_cg_schur_coefmg_structured_matches_gather():
+    """solve_fwd with the structured (slicing) coefMG preconditioner
+    produces the same QoI as with the generic gather tables - same
+    preconditioner up to float reassociation, so same converged solve."""
+    import dataclasses
+
+    from parelagmc_tpu.problems import build_problem
+
+    rng = np.random.default_rng(5)
+    kinv = np.exp(rng.normal(size=(6 * 10 * 7,)) * 2.0)
+    qois = []
+    iters = []
+    for impl in ("auto", "gather"):
+        cfg = ProblemConfig(
+            mesh="box", ncells=(6, 10, 7), lengths=(1.2, 2.0, 0.7),
+            refinements=0, batch_size=2, dtype="float64",
+        )
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.relative_tolerance = 1e-10
+        cfg.darcy_solver.coefmg_impl = impl
+        prob = build_problem(cfg, kinv_ref=kinv)
+        from parelagmc_tpu.ops.coef_multigrid_structured import StructCoefMG
+
+        is_struct = isinstance(prob.solver.levels[0].coef_mg, StructCoefMG)
+        assert is_struct == (impl == "auto")
+        w = jnp.asarray(
+            np.exp(rng.standard_normal((2, 6 * 10 * 7)) * 0.0 + 1.0)
+        )  # fixed field so both runs see identical input
+        q, _, info = prob.solver.solve_fwd(0, w)
+        qois.append(np.asarray(q))
+        iters.append(int(info.iterations))
+        assert bool(np.all(np.asarray(info.converged)))
+    np.testing.assert_allclose(qois[0], qois[1], rtol=1e-8)
+    assert abs(iters[0] - iters[1]) <= 2
+
+
+def test_apply_b_stencil_matches_gather():
+    """The structured slicing-form B/B^T (DarcyLevel.b_struct) equals the
+    gather-incidence form on every level, including essential masking and
+    non-dyadic coarse shapes."""
+    from parelagmc_tpu.fem.hierarchy import build_geometric_hierarchy_from_fine
+
+    mesh = make_box_mesh((6, 10, 7), lengths=(1.2, 2.0, 0.7))
+    hier = build_geometric_hierarchy_from_fine(mesh, 2)
+    cfg = ProblemConfig(mesh="box", ncells=(6, 10, 7), refinements=0,
+                        dtype="float64")
+    s = DarcySolver(hier, cfg, jnp.float64)
+    for lev in range(2):
+        L = s.levels[lev]
+        assert L.b_struct is not None
+        rng = np.random.default_rng(lev)
+        u = jnp.asarray(rng.normal(size=(3, L.n_u)))
+        p = jnp.asarray(rng.normal(size=(3, L.n_s)))
+        Lg = L._replace(b_struct=None)
+        np.testing.assert_allclose(
+            np.asarray(s._apply_B(L, u)), np.asarray(s._apply_B(Lg, u)),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s._apply_Bt(L, p)), np.asarray(s._apply_Bt(Lg, p)),
+            atol=1e-12,
+        )
