@@ -152,6 +152,7 @@ class MassTridiagSolver(NamedTuple):
     n_u: int
     use_scan: bool = False  # Thomas scan vs tridiagonal_solve
     use_pscan: bool = False  # log-depth associative-scan solve (big grids)
+    use_pallas: bool = False  # fused single-kernel Thomas (TPU, big grids)
 
     def __call__(self, w: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """z = M(w)^{-1} rhs, batched over leading dims of w/rhs."""
@@ -185,7 +186,15 @@ class MassTridiagSolver(NamedTuple):
             r = rhs[..., self.face_offsets[a]: self.face_offsets[a + 1]]
             r = r.reshape(batch + tuple(fshape[::-1]))
             r = jnp.transpose(r, tuple(range(nb)) + tuple(nb + p for p in ax.perm_face))
-            if self.use_pscan:
+            if self.use_pallas:
+                # Whole Thomas recurrence fused into one Pallas program
+                # (VMEM-resident carries; see ops/tridiag_pallas.py).
+                from parelagmc_tpu.ops.tridiag_pallas import (
+                    tridiag_thomas_pallas,
+                )
+
+                z = tridiag_thomas_pallas(dl, diag, du, r)
+            elif self.use_pscan:
                 # Log-depth associative scans along the (last-axis) line.
                 z = _pscan_solve(dl, diag, du, r)
             elif self.use_scan:
@@ -280,6 +289,12 @@ def build_mass_tridiag_solver(
         # SLOWER than Thomas at SPE10 scale (55.6 vs 19.8 ms/solve, batch
         # 8): each Thomas step already processes >15k lines in parallel,
         # so the scan's extra flops/traffic buy nothing - it stays an
-        # opt-in for small-line/huge-batch shapes.
+        # opt-in for small-line/huge-batch shapes. On an accelerator the
+        # fused Pallas kernel (ops/tridiag_pallas.py) replaces the scan:
+        # one program instead of ~2n HLO loop steps.
         use_scan=int(np.prod(shape)) > 32768,
+        use_pallas=(
+            int(np.prod(shape)) > 32768
+            and jax.default_backend() not in ("cpu",)
+        ),
     )

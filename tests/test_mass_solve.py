@@ -102,17 +102,19 @@ def test_cg_schur_iteration_count():
     assert int(info.iterations) < 40
 
 
-@pytest.mark.parametrize("variant", ["thomas", "pscan"])
+@pytest.mark.parametrize("variant", ["thomas", "pscan", "pallas"])
 def test_mass_tridiag_scan_variants_match_dense(variant):
     """The big-grid solve paths (sequential Thomas scan / log-depth
-    associative-scan) match the dense oracle exactly like the default
-    tridiagonal_solve path."""
+    associative-scan / fused Pallas kernel, interpreter mode on CPU) match
+    the dense oracle exactly like the default tridiagonal_solve path."""
     mesh = make_box_mesh((5, 4, 3), lengths=(1.0, 2.0, 0.5))
     lvl = build_mixed_level(mesh)
     ess = lvl.ess_faces(np.array([1, 0, 1, 0, 1, 1]))
     solver = build_mass_tridiag_solver(lvl, ess, dtype=DT)
     solver = solver._replace(
-        use_scan=variant == "thomas", use_pscan=variant == "pscan"
+        use_scan=variant == "thomas",
+        use_pscan=variant == "pscan",
+        use_pallas=variant == "pallas",
     )
     rng = np.random.default_rng(4)
     w = np.exp(2.0 * rng.normal(size=(2, lvl.n_s)))
