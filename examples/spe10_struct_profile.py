@@ -31,6 +31,7 @@ def main():
         StructCoefMG,
         _s_apply_grid,
         struct_mg_dinvs,
+        struct_mg_setup,
         struct_v_cycle,
     )
     from parelagmc_tpu.ops.jit_utils import jit_hoisted
@@ -94,31 +95,40 @@ def main():
 
     diag_w = L.m_diag(w)
     dinv0 = jnp.where(diag_w > 0, 1.0 / diag_w, 0.0)
-    dinvs = struct_mg_dinvs(mg, dinv0)
-    dinvs = jax.tree_util.tree_map(jax.block_until_ready, dinvs)
+    state = struct_mg_setup(mg, dinv0)
+    state = jax.tree_util.tree_map(jax.block_until_ready, state)
+    fac = jax.tree_util.tree_map(
+        jax.block_until_ready, L.mass_solver.factor(w)
+    )
 
     # Component marginals (all flat-vector in/out so chains compose).
-    marginal("Minv", lambda r: L.mass_solver(w, r), r_u)
+    marginal("Minv(in-loop fac)", lambda r: L.mass_solver(w, r), r_u)
+    marginal("Minv(factored)",
+             lambda r: L.mass_solver.apply_factored(fac, r), r_u)
     marginal("apply_Bt+B", lambda p: solver._apply_B(L, solver._apply_Bt(L, p)),
              r_s)
     marginal("apply_S", lambda p: solver._apply_B(
-        L, L.mass_solver(w, solver._apply_Bt(L, p))), r_s)
+        L, L.mass_solver.apply_factored(fac, solver._apply_Bt(L, p))), r_s)
     d = len(mg.levels[0].shape)
     shape0 = mg.levels[0].shape
 
     def s0(x):
         xg = x.reshape(x.shape[:-1] + tuple(shape0[::-1]))
-        return _s_apply_grid(dinvs[0], xg).reshape(x.shape[:-1] + (-1,))
+        return _s_apply_grid(state[0][0], xg).reshape(x.shape[:-1] + (-1,))
 
     marginal("mg_s_apply_0", s0, r_s)
-    marginal("v_cycle", lambda r: struct_v_cycle(mg, dinvs, r), r_s)
-    marginal("dinvs_setup", lambda d0: sum(
-        x.sum() for lvl in struct_mg_dinvs(mg, d0) for x in lvl) + d0, dinv0)
+    marginal("v_cycle", lambda r: struct_v_cycle(mg, state, r), r_s)
+    marginal("setup(dinv+idiag+fac)", lambda d0: sum(
+        x.sum() for lvl, idg in struct_mg_setup(mg, d0) for x in lvl
+    ) + sum(t.sum() for axf in L.mass_solver.factor(
+        jnp.exp(-d0[..., : L.n_s])) for t in axf) + d0, dinv0)
 
     # One full preconditioned CG iteration worth of work, composed.
     def cg_iter(p):
-        Sp = solver._apply_B(L, L.mass_solver(w, solver._apply_Bt(L, p)))
-        z = struct_v_cycle(mg, dinvs, Sp)
+        Sp = solver._apply_B(
+            L, L.mass_solver.apply_factored(fac, solver._apply_Bt(L, p))
+        )
+        z = struct_v_cycle(mg, state, Sp)
         return z + 1e-3 * p
 
     marginal("cg_iteration", cg_iter, r_s)

@@ -1,16 +1,13 @@
-"""Profile the per-sample coef-MG V-cycle subcomponents at SPE10 level 0.
+"""Decompose the structured SPE10 V-cycle cost (chain-amortized, real TPU).
 
-The level-0 breakdown (examples/spe10_level0_breakdown.py) showed the
-V(2,2) cycle costing ~550 ms/call at batch 8 - an order of magnitude above
-its HBM-bandwidth bound and ~4x the exact tridiagonal Schur apply it
-preconditions. This script times each piece on the real TPU:
+The composed V(2,2) cycle measures ~22 ms marginal at level 0 batch 16
+while its visible parts (4 level-0 S-applies at ~1.9 ms + transfers +
+elementwise) only account for ~12 ms. This script times each structural
+piece of ops/coef_multigrid_structured._v_cycle_grid separately to find
+where the rest goes.
 
-  dinvs     - per-level face-vector setup (coef_mg_dinvs)
-  s_apply_0 - one fine-level stencil apply (_s_apply)
-  jdiag_0   - fine-level Jacobi diagonal (_jacobi_diag)
-  cycle     - full coef_v_cycle given precomputed dinvs
-
-Usage (real TPU, from /root/repo): python examples/spe10_vcycle_profile.py
+Usage (real TPU, from /root/repo):
+    python examples/spe10_vcycle_profile.py [--batch 16]
 """
 
 import sys
@@ -26,58 +23,104 @@ def main():
     import jax.numpy as jnp
 
     from parelagmc_tpu.config import ProblemConfig
-    from parelagmc_tpu.ops.coef_multigrid import (
-        _jacobi_diag,
-        _s_apply,
-        coef_mg_dinvs,
-        coef_v_cycle,
+    from parelagmc_tpu.ops.coef_multigrid_structured import (
+        StructCoefMG,
+        _prolong_cells,
+        _restrict_cells,
+        _s_apply_grid,
+        struct_mg_setup,
+        struct_v_cycle,
+        _v_cycle_grid,
     )
     from parelagmc_tpu.ops.jit_utils import jit_hoisted
     from parelagmc_tpu.physics.spe10 import load_spe10_kinv
     from parelagmc_tpu.problems import build_problem
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
+    argv = sys.argv
+    batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 16
+    grid = (60, 220, 85)
     cfg = ProblemConfig(
         mesh="spe10", refinements=2, batch_size=batch,
         correlation_length=100.0, normalize_marginals=True,
     )
     cfg.darcy_solver.name = "cg-schur-coefmg"
-    prob = build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=(60, 220, 85)))
-    L = prob.solver.levels[0]
+    prob = build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=grid))
+    solver = prob.solver
+    L = solver.levels[0]
     mg = L.coef_mg
-    print("mg levels:", [int(l.face_cells.shape[0]) for l in mg.levels])
+    assert isinstance(mg, StructCoefMG), type(mg)
+    d = len(mg.levels[0].shape)
+    print("mg level shapes:", [l.shape for l in mg.levels])
 
     rng = np.random.default_rng(0)
-    w = jnp.asarray(
-        np.exp(rng.normal(size=(batch, L.n_s)) * 0.5), dtype=jnp.float32
-    )
-    r_s = jnp.asarray(rng.normal(size=(batch, L.n_s)), dtype=jnp.float32)
+    w = jnp.asarray(np.exp(rng.normal(size=(batch, L.n_s)) * 0.5), jnp.float32)
+    r_s = jnp.asarray(rng.normal(size=(batch, L.n_s)), jnp.float32)
+
+    def marginal(label, fn, x0, *extra, K=8, reps=6):
+        def chain(eps, k, x, *a):
+            y = x * (1.0 + eps)
+            for _ in range(k):
+                y = fn(y, *a) * (1.0 + eps)
+            return jnp.sum(y)
+
+        ts = []
+        for k in (1, K):
+            f = jit_hoisted(lambda eps, x, *a, _k=k: chain(eps, _k, x, *a),
+                            jnp.float32(0.0), x0, *extra)
+            float(f(jnp.float32(0.0), x0, *extra))
+            t0 = time.perf_counter()
+            outs = [f(jnp.float32(1e-7 * (i + 1)), x0, *extra)
+                    for i in range(reps)]
+            _ = [float(o) for o in outs]
+            ts.append((time.perf_counter() - t0) / reps)
+        m = (ts[1] - ts[0]) / (K - 1)
+        print(f"{label:26s} {m * 1e3:8.2f} ms marginal   "
+              f"(t1 {ts[0] * 1e3:.1f} ms, t{K} {ts[1] * 1e3:.1f} ms)")
+        return m
+
     diag_w = L.m_diag(w)
     dinv0 = jnp.where(diag_w > 0, 1.0 / diag_w, 0.0)
-    dinvs = list(coef_mg_dinvs(mg, dinv0))
-    dinvs = [jax.block_until_ready(d) for d in dinvs]
+    state = struct_mg_setup(mg, dinv0)
+    state = jax.tree_util.tree_map(jax.block_until_ready, state)
+    shape0 = mg.levels[0].shape
 
-    def timed(label, fn, *args, reps=10):
-        g = lambda eps, *a: jnp.sum(fn(a[0] * (1.0 + eps), *a[1:]))
-        zero = jnp.float32(0.0)
-        f = jit_hoisted(g, zero, *args)
-        float(f(zero, *args))
-        t0 = time.perf_counter()
-        outs = [f(jnp.float32(1e-6 * (i + 1)), *args) for i in range(reps)]
-        vals = [float(o) for o in outs]
-        dt = (time.perf_counter() - t0) / reps
-        print(f"{label:12s} {dt * 1e3:8.2f} ms/call   (checksum {vals[-1]:.3e})")
-        return dt
+    def to_grid(x):
+        return x.reshape(x.shape[:-1] + tuple(shape0[::-1]))
 
-    timed("dinvs", lambda d0: jnp.concatenate(
-        [x.sum(-1, keepdims=True) for x in coef_mg_dinvs(mg, d0)], -1), dinv0)
-    timed("s_apply_0", lambda x: _s_apply(mg.levels[0], dinvs[0], x), r_s)
-    timed("jdiag_0", lambda d0: _jacobi_diag(mg.levels[0], d0), dinv0)
-    for lvl in range(1, len(mg.levels)):
-        n_c = int(mg.levels[lvl].cell_src.shape[0])
-        x_l = jnp.asarray(rng.normal(size=(batch, n_c)), dtype=jnp.float32)
-        timed(f"s_apply_{lvl}", lambda x, l=lvl: _s_apply(mg.levels[l], dinvs[l], x), x_l)
-    timed("cycle", lambda x: coef_v_cycle(mg, dinvs, x), r_s)
+    bg = jax.block_until_ready(to_grid(r_s))
+    dinv_axes0, idiag0 = state[0]
+
+    # 1. One Jacobi sweep at level 0 (residual form).
+    def sweep0(x):
+        return x + mg.omega * idiag0 * (bg - _s_apply_grid(dinv_axes0, x))
+
+    marginal("jacobi_sweep_0", sweep0, bg)
+
+    # 2. Restrict level0 -> level1 -> prolong back (transfer roundtrip).
+    nxt = mg.levels[1]
+
+    def roundtrip(x):
+        rc = _restrict_cells(x, nxt, d)
+        return _prolong_cells(rc, nxt, d)
+
+    marginal("restrict+prolong_0to1", roundtrip, bg)
+
+    # 3. The whole coarse solve (levels 1..end) on a level-1 grid.
+    bg1 = jax.block_until_ready(_restrict_cells(bg, nxt, d))
+
+    def coarse_cycle(r1):
+        return _v_cycle_grid(mg, state, r1, 2, 1)
+
+    marginal("v_cycle_from_level_1", coarse_cycle, bg1)
+
+    # 4. Full cycle, sweeps=1 (V(1,1)) vs the default V(2,2).
+    marginal("v_cycle_sweeps1",
+             lambda r: struct_v_cycle(mg, state, r, sweeps=1), r_s)
+    marginal("v_cycle_sweeps2",
+             lambda r: struct_v_cycle(mg, state, r, sweeps=2), r_s)
+
+    # 5. S-apply at level 0 alone (for reference within this run).
+    marginal("s_apply_0", lambda x: _s_apply_grid(dinv_axes0, x), bg)
 
 
 if __name__ == "__main__":

@@ -368,12 +368,21 @@ def _cheb_smooth(mg: CoefMG, lvl: CoefMGLevel, dinv, idiag, b, x):
     return x + d
 
 
-def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0):
+def coef_mg_idiags(mg: CoefMG, dinvs):
+    """Per-level inverse Jacobi diagonals. Like the dinvs, these depend
+    only on the sample coefficient: compute ONCE per solve and pass to
+    coef_v_cycle - XLA does not hoist the (loop-invariant) gather chain
+    out of a Krylov while_loop body."""
+    return [1.0 / _jacobi_diag(lvl, dv) for lvl, dv in zip(mg.levels, dinvs)]
+
+
+def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0,
+                 idiags=None):
     """One V(sweeps, sweeps) cycle with the per-sample hierarchy (Jacobi
     smoothing), or V(cheby_order, cheby_order) when mg.cheby_order > 0."""
     lvl = mg.levels[level]
     dinv = dinvs[level]
-    idiag = 1.0 / _jacobi_diag(lvl, dinv)
+    idiag = (1.0 / _jacobi_diag(lvl, dinv)) if idiags is None else idiags[level]
     cheby = mg.cheby_order > 0
     if level == len(mg.levels) - 1:
         x = mg.omega * idiag * b
@@ -391,7 +400,7 @@ def coef_v_cycle(mg: CoefMG, dinvs, b, sweeps: int = 2, level: int = 0):
     r = b - _s_apply(lvl, dinv, x)
     nxt = mg.levels[level + 1]
     rc = _gather_sum(r, nxt.cell_src, nxt.cell_src_mask)
-    xc = coef_v_cycle(mg, dinvs, rc, sweeps, level + 1)
+    xc = coef_v_cycle(mg, dinvs, rc, sweeps, level + 1, idiags)
     x = x + jnp.take(xc, nxt.parent, axis=-1)
     if cheby:
         return _cheb_smooth(mg, lvl, dinv, idiag, b, x)

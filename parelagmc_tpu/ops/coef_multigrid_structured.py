@@ -101,42 +101,62 @@ def _tail(n_f: int, n_c: int) -> int:
     return n_f - 2 * (n_c - 1)
 
 
+def _ax_slice(x: jnp.ndarray, axis: int, sl: slice) -> jnp.ndarray:
+    idx = [slice(None)] * x.ndim
+    idx[axis] = sl
+    return x[tuple(idx)]
+
+
 def _group_sum(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
-    """Sum groups of [2]*(n_c-1) + [tail] along `axis` (slices only)."""
+    """Sum groups of [2]*(n_c-1) + [tail] along `axis`.
+
+    Axis-native on purpose: an earlier moveaxis(axis, -1) formulation made
+    the lane (x) dimension rotate through every transfer - a lane-crossing
+    transpose per axis per cycle, which on TPU runs far below HBM
+    bandwidth. Splitting a MIDDLE axis into (n_c-1, 2) is a pure reshape
+    (no data movement) and the pair sum is one pass."""
     if n_c == n_f:  # passthrough axis (already 1-2 cells)
         return x
-    t = _tail(n_f, n_c)
-    x = jnp.moveaxis(x, axis, -1)
-    main = x[..., : 2 * (n_c - 1)]
-    main = main.reshape(main.shape[:-1] + (n_c - 1, 2)).sum(axis=-1)
-    tail = x[..., 2 * (n_c - 1):].sum(axis=-1, keepdims=True)
-    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
+    axis = axis % x.ndim
+    main = _ax_slice(x, axis, slice(0, 2 * (n_c - 1)))
+    main = main.reshape(
+        main.shape[:axis] + (n_c - 1, 2) + main.shape[axis + 1:]
+    ).sum(axis=axis + 1)
+    tail = _ax_slice(x, axis, slice(2 * (n_c - 1), None)).sum(
+        axis=axis, keepdims=True
+    )
+    return jnp.concatenate([main, tail], axis=axis)
 
 
 def _repeat_groups(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
     """Adjoint-structure of _group_sum: repeat each of the n_c entries of
-    `x` along `axis` over its [2]*(n_c-1) + [tail] group, yielding n_f."""
+    `x` along `axis` over its [2]*(n_c-1) + [tail] group, yielding n_f
+    (axis-native broadcast + reshape; see _group_sum)."""
     if n_c == n_f:
         return x
     t = _tail(n_f, n_c)
-    x = jnp.moveaxis(x, axis, -1)
-    main = x[..., : n_c - 1]
-    main = jnp.broadcast_to(
-        main[..., None], main.shape + (2,)
-    ).reshape(main.shape[:-1] + (2 * (n_c - 1),))
-    tail = jnp.broadcast_to(x[..., n_c - 1:], x.shape[:-1] + (t,))
-    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
+    axis = axis % x.ndim
+    main = _ax_slice(x, axis, slice(0, n_c - 1))
+    shp = main.shape[:axis + 1] + (2,) + main.shape[axis + 1:]
+    main = jnp.broadcast_to(jnp.expand_dims(main, axis + 1), shp).reshape(
+        main.shape[:axis] + (2 * (n_c - 1),) + main.shape[axis + 1:]
+    )
+    last = _ax_slice(x, axis, slice(n_c - 1, None))
+    tail = jnp.broadcast_to(
+        last, last.shape[:axis] + (t,) + last.shape[axis + 1:]
+    )
+    return jnp.concatenate([main, tail], axis=axis)
 
 
 def _plane_select(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
     """Coarse face planes of one axis: fine planes 0, 2, ..., 2(n_c-1), n_f
-    (static strided slice + the final plane)."""
+    (static strided slice + the final plane; axis-native)."""
     if n_c == n_f:
         return x
-    x = jnp.moveaxis(x, axis, -1)
-    main = x[..., : 2 * (n_c - 1) + 1: 2]
-    last = x[..., n_f:]
-    return jnp.moveaxis(jnp.concatenate([main, last], axis=-1), -1, axis)
+    axis = axis % x.ndim
+    main = _ax_slice(x, axis, slice(0, 2 * (n_c - 1) + 1, 2))
+    last = _ax_slice(x, axis, slice(n_f, None))
+    return jnp.concatenate([main, last], axis=axis)
 
 
 # -- per-sample hierarchy setup ----------------------------------------------
@@ -173,6 +193,29 @@ def struct_mg_dinvs(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
             cur.append(x)
         out.append(tuple(cur))
     return out
+
+
+def struct_mg_setup(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
+    """Full per-solve V-cycle state: per level (dinv_axes, idiag) with the
+    inverse Jacobi diagonal precomputed. Like the Thomas tables
+    (ops/mass_solve.factor), idiag depends only on the sample coefficient;
+    computing it inside the V-cycle re-pays its slice/where/reciprocal
+    chain every preconditioner application inside the CG while_loop (XLA
+    does not hoist loop invariants out of while bodies)."""
+    d = len(mg.levels[0].shape)
+    dinvs = struct_mg_dinvs(mg, dinv0_flat)
+    return [(axes, 1.0 / _jdiag_grid(axes, d)) for axes in dinvs]
+
+
+def _as_state(mg: StructCoefMG, dinvs):
+    """Accept either struct_mg_setup state or bare struct_mg_dinvs output
+    (oracle tests / older call sites) and normalize to state entries."""
+    if dinvs and isinstance(dinvs[0], tuple) and len(dinvs[0]) == 2 and (
+        isinstance(dinvs[0][0], tuple)
+    ):
+        return dinvs
+    d = len(mg.levels[0].shape)
+    return [(axes, 1.0 / _jdiag_grid(axes, d)) for axes in dinvs]
 
 
 # -- device apply -------------------------------------------------------------
@@ -251,10 +294,9 @@ def _cheb_smooth_grid(mg, dinv_axes, idiag, b, x):
     return x + dvec
 
 
-def _v_cycle_grid(mg: StructCoefMG, dinvs, b, sweeps: int, level: int):
+def _v_cycle_grid(mg: StructCoefMG, state, b, sweeps: int, level: int):
     d = len(mg.levels[0].shape)
-    dinv_axes = dinvs[level]
-    idiag = 1.0 / _jdiag_grid(dinv_axes, d)
+    dinv_axes, idiag = state[level]
     cheby = mg.cheby_order > 0
     if level == len(mg.levels) - 1:
         x = mg.omega * idiag * b
@@ -270,7 +312,7 @@ def _v_cycle_grid(mg: StructCoefMG, dinvs, b, sweeps: int, level: int):
     r = b - _s_apply_grid(dinv_axes, x)
     nxt = mg.levels[level + 1]
     rc = _restrict_cells(r, nxt, d)
-    xc = _v_cycle_grid(mg, dinvs, rc, sweeps, level + 1)
+    xc = _v_cycle_grid(mg, state, rc, sweeps, level + 1)
     x = x + _prolong_cells(xc, nxt, d)
     if cheby:
         return _cheb_smooth_grid(mg, dinv_axes, idiag, b, x)
@@ -284,20 +326,23 @@ def _v_cycle_grid(mg: StructCoefMG, dinvs, b, sweeps: int, level: int):
 
 def struct_s_apply(mg: StructCoefMG, dinvs, x_flat: jnp.ndarray) -> jnp.ndarray:
     """Fine-level S x for flat (batch, n_s) vectors (used by composed-cycle
-    preconditioners)."""
+    preconditioners). Accepts struct_mg_setup state or bare dinvs."""
+    state = _as_state(mg, dinvs)
     shape0 = mg.levels[0].shape
     batch = x_flat.shape[:-1]
     xg = x_flat.reshape(batch + tuple(shape0[::-1]))
-    return _s_apply_grid(dinvs[0], xg).reshape(batch + (-1,))
+    return _s_apply_grid(state[0][0], xg).reshape(batch + (-1,))
 
 
 def struct_v_cycle(
     mg: StructCoefMG, dinvs, b_flat: jnp.ndarray, sweeps: int = 2
 ) -> jnp.ndarray:
     """One V(sweeps, sweeps) cycle (or Chebyshev when cheby_order > 0) for
-    flat (batch, n_s) residuals."""
+    flat (batch, n_s) residuals. Accepts struct_mg_setup state (fast path:
+    precomputed idiag) or bare struct_mg_dinvs output."""
+    state = _as_state(mg, dinvs)
     shape0 = mg.levels[0].shape
     batch = b_flat.shape[:-1]
     bg = b_flat.reshape(batch + tuple(shape0[::-1]))
-    xg = _v_cycle_grid(mg, dinvs, bg, sweeps, 0)
+    xg = _v_cycle_grid(mg, state, bg, sweeps, 0)
     return xg.reshape(batch + (-1,))

@@ -156,11 +156,26 @@ class MassTridiagSolver(NamedTuple):
 
     def __call__(self, w: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         """z = M(w)^{-1} rhs, batched over leading dims of w/rhs."""
+        return self.apply_factored(self.factor(w), rhs)
+
+    def factor(self, w: jnp.ndarray):
+        """Per-axis tridiagonal tables (dl, diag, du) in line layout for the
+        sample coefficient `w` (batched over leading dims).
+
+        Factor ONCE per Krylov solve and reuse via apply_factored: the
+        tables depend only on w, and XLA does not hoist their construction
+        out of a lax.while_loop body (it does hoist/CSE them in unrolled
+        chains, which is why isolated chain profiles barely move). Measured
+        end-to-end by iteration differencing at SPE10 level 0, batch 16
+        (examples/spe10_iter_cost.py): hoisting the factor + the MG Jacobi
+        diagonals out of the Schur-CG loop cut the real per-iteration cost
+        from 50.2 to 45.8 ms.
+        """
         d = len(self.shape)
         batch = w.shape[:-1]
         nb = len(batch)
         wg = w.reshape(batch + tuple(self.shape[::-1]))  # (..., z, y, x)
-        outs = []
+        factors = []
         for a in range(d):
             ax = self.axes[a]
             w_a = jnp.transpose(wg, tuple(range(nb)) + tuple(nb + p for p in ax.perm_cell))
@@ -180,7 +195,18 @@ class MassTridiagSolver(NamedTuple):
             diag = jnp.where(ess, 1.0, diag)
             du = jnp.where(ess | ess_next, 0.0, du)
             dl = jnp.where(ess | ess_prev, 0.0, dl)
+            factors.append((dl, diag, du))
+        return tuple(factors)
 
+    def apply_factored(self, factors, rhs: jnp.ndarray) -> jnp.ndarray:
+        """z = M^{-1} rhs for tables built by factor() (same batch dims)."""
+        d = len(self.shape)
+        batch = rhs.shape[:-1]
+        nb = len(batch)
+        outs = []
+        for a in range(d):
+            ax = self.axes[a]
+            dl, diag, du = factors[a]
             fshape = list(self.shape)
             fshape[a] += 1
             r = rhs[..., self.face_offsets[a]: self.face_offsets[a + 1]]

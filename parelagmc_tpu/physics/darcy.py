@@ -731,7 +731,13 @@ class DarcySolver:
         batch = w.shape[:-1]
         f = jnp.broadcast_to(L.rhs[: L.n_u], batch + (L.n_u,))
         g = jnp.broadcast_to(L.rhs[L.n_u:], batch + (L.n_s,))
-        Minv = lambda r: L.mass_solver(w, r)
+        # Factor the tridiagonal mass tables ONCE per solve: XLA does not
+        # hoist their (loop-invariant) construction out of the CG
+        # while_loop body. Together with the precomputed MG Jacobi
+        # diagonals below, measured 50.2 -> 45.8 ms per real Schur-CG
+        # iteration at SPE10 level 0, batch 16 (examples/spe10_iter_cost.py).
+        mass_fac = L.mass_solver.factor(w)
+        Minv = lambda r: L.mass_solver.apply_factored(mass_fac, r)
         rhs_s = self._apply_B(L, Minv(f)) - g
         if L.coef_mg is not None:
             # Per-sample Galerkin MG: the hierarchy's entire coefficient
@@ -743,7 +749,7 @@ class DarcySolver:
             # ops/coef_multigrid_structured.py.
             from parelagmc_tpu.ops.coef_multigrid_structured import (
                 StructCoefMG,
-                struct_mg_dinvs,
+                struct_mg_setup,
                 struct_s_apply,
                 struct_v_cycle,
             )
@@ -751,18 +757,24 @@ class DarcySolver:
             diag_w = L.m_diag(w)
             dinv0 = jnp.where(diag_w > 0, 1.0 / jnp.where(diag_w == 0, 1.0, diag_w), 0.0)
             if isinstance(L.coef_mg, StructCoefMG):
-                dinvs = struct_mg_dinvs(L.coef_mg, dinv0)
+                # Precomputed (dinv_axes, idiag) per level: the Jacobi
+                # diagonals are loop invariants too (see struct_mg_setup).
+                dinvs = struct_mg_setup(L.coef_mg, dinv0)
                 cycle = lambda r: struct_v_cycle(L.coef_mg, dinvs, r)
                 s_fine = lambda z: struct_s_apply(L.coef_mg, dinvs, z)
             else:
                 from parelagmc_tpu.ops.coef_multigrid import (
                     _s_apply,
                     coef_mg_dinvs,
+                    coef_mg_idiags,
                     coef_v_cycle,
                 )
 
                 dinvs = coef_mg_dinvs(L.coef_mg, dinv0)
-                cycle = lambda r: coef_v_cycle(L.coef_mg, dinvs, r)
+                idiags = coef_mg_idiags(L.coef_mg, dinvs)
+                cycle = lambda r: coef_v_cycle(
+                    L.coef_mg, dinvs, r, idiags=idiags
+                )
                 s_fine = lambda z: _s_apply(
                     L.coef_mg.levels[0], dinvs[0], z
                 )

@@ -781,7 +781,11 @@ class UnstructuredDarcySolver:
         place (review r3)."""
         if self._coef_mg[level] is None:
             return None
-        from parelagmc_tpu.ops.coef_multigrid import coef_mg_dinvs, coef_v_cycle
+        from parelagmc_tpu.ops.coef_multigrid import (
+            coef_mg_dinvs,
+            coef_mg_idiags,
+            coef_v_cycle,
+        )
 
         L = self._lv[level]
         mg = self._coef_mg[level]
@@ -792,7 +796,8 @@ class UnstructuredDarcySolver:
             0.0,
         )
         dinvs = coef_mg_dinvs(mg, dinv0)
-        return lambda r: coef_v_cycle(mg, dinvs, r)
+        idiags = coef_mg_idiags(mg, dinvs)
+        return lambda r: coef_v_cycle(mg, dinvs, r, idiags=idiags)
 
     def solve_fwd(
         self,
