@@ -92,6 +92,18 @@ def main() -> None:
         f"-> {sps:.1f} samples/s; E[Q]~{eq:.4f}",
         file=sys.stderr,
     )
+    # Correctness canary (XLA:TPU fusion-corruption class, CLAUDE.md): the
+    # deep-converged truth on this config/keys is E[Q]=2.55 +- ~0.03
+    # sampling noise and the 50-iteration budget bias is < 0.01. A corrupt
+    # fused program shows up as a mean shift + sd inflation (measured
+    # 2.76/0.73 from one bad fusion variant) long before anything NaNs.
+    if abs(eq - 2.55) > 0.12:
+        print(
+            f"# !! E[Q]={eq:.4f} outside the converged-truth band "
+            f"2.55 +- 0.12 - fused-program corruption canary tripped; "
+            f"treat this capture as INVALID",
+            file=sys.stderr,
+        )
 
     # --- single-core scipy baseline proxy (sparse LU per sample) -----------
     # The divisor is PINNED in BASELINE_CALIBRATION.json (calibrated once on

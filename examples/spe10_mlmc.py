@@ -51,6 +51,10 @@ def main(argv=None):
         # destroys the MLMC variance decay (measured beta = -0.5 in round
         # 2; see examples/spe10_rate_diagnostics.py).
         normalize_marginals=True,
+        # Largest-dim-minor device layout: SPE10 x=60 pads to 128 TPU
+        # lanes; auto relabels so y=220 is the lane axis (1.59x V-cycle,
+        # examples/spe10_layout_probe.py). --axis-order none to disable.
+        axis_order="auto",
     )
     if grid is not None:
         # Scaled-down run on a grid with the SPE10 domain extents.

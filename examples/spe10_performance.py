@@ -28,6 +28,56 @@ from parelagmc_tpu.physics.spe10 import load_spe10_kinv
 from parelagmc_tpu.problems import build_problem
 
 
+def _struct_vcycle_batch_selfcheck(solver, tol=1e-4):
+    """TPU batch-consistency canary for the structured coefMG (miscompile
+    guard, see ops/coef_multigrid_structured.py): sample 0 of a batch-2
+    multi-output V-cycle program must match the batch-1 run bit-for-bit up
+    to fusion reassociation. The 2026-08-18 XLA:TPU fusion miscompile made
+    it O(1) wrong - silently destroying solver convergence (560 vs 55
+    iterations) while every op passed in isolation."""
+    from parelagmc_tpu.ops import coef_multigrid_structured as cms
+
+    L = solver.levels[0]
+    if not isinstance(getattr(L, "coef_mg", None), cms.StructCoefMG):
+        print("-- selfcheck skipped (no structured coefMG at level 0)")
+        return
+    mg = L.coef_mg
+    d = len(mg.levels[0].shape)
+    shape0 = mg.levels[0].shape
+    rng = np.random.default_rng(0)
+    n_c = int(np.prod(shape0))
+    w2 = jnp.asarray(
+        np.exp(rng.normal(size=(2, n_c)) * 0.7), jnp.float32
+    )
+    p2 = jnp.asarray(rng.normal(size=(2, n_c)), jnp.float32)
+
+    def parts(ww, pp):
+        dw = L.m_diag(ww)
+        d0 = jnp.where(dw > 0, 1.0 / jnp.where(dw == 0, 1.0, dw), 0.0)
+        st = cms.struct_mg_setup(mg, d0)
+        bg = pp.reshape(pp.shape[:-1] + tuple(shape0[::-1]))
+        rc = cms._restrict_cells(bg, mg.levels[1], d) if len(mg.levels) > 1 else bg
+        return (
+            cms.struct_v_cycle(mg, st, pp),
+            cms.struct_s_apply(mg, st, pp),
+            cms._v_cycle_grid(mg, st, rc, 2, 1) if len(mg.levels) > 1 else rc,
+        )
+
+    o1 = jax.jit(parts)(w2[:1], p2[:1])
+    o2 = jax.jit(parts)(w2, p2)
+    for name, a, b in zip(("v_cycle", "s_apply", "coarse_cycle"), o1, o2):
+        a, b = np.asarray(a)[0], np.asarray(b)[0]
+        dd = float(np.abs(a - b).max() / (np.abs(a).max() or 1.0))
+        if dd > tol:
+            raise RuntimeError(
+                f"struct coefMG batch-consistency selfcheck FAILED on "
+                f"'{name}': batch-2 sample 0 deviates rel {dd:.3e} from the "
+                f"batch-1 run - the XLA:TPU fusion miscompile class is back "
+                f"(ops/coef_multigrid_structured.py guard comment)"
+            )
+        print(f"-- selfcheck {name}: batch1-vs-batch2[0] rel diff {dd:.1e} ok")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     perm_file = None
@@ -40,6 +90,9 @@ def main(argv=None):
         i = argv.index("--out")
         out_file = argv[i + 1]
         del argv[i : i + 2]
+    selfcheck = "--selfcheck" in argv
+    if selfcheck:
+        argv.remove("--selfcheck")
     # Per-sample Galerkin MG: converges SPE10 level-0 solves to rtol 1e-4
     # in ~31 iterations (vs 480+ iterations stuck at ~5e-4 for the static
     # kinv MG with local scaling) - the per-sample hierarchy is decisive
@@ -59,6 +112,10 @@ def main(argv=None):
         # Match the SPE10 MLMC driver's field model (exact marginal
         # normalization; --raw-marginals to disable).
         normalize_marginals=True,
+        # Largest-dim-minor device layout: SPE10 x=60 pads to 128 TPU
+        # lanes; auto relabels so y=220 is the lane axis (1.59x V-cycle,
+        # examples/spe10_layout_probe.py). --axis-order none to disable.
+        axis_order="auto",
     )
     cfg.darcy_solver.name = darcy_solver
     # Duration guard: the TPU worker kills single executions past ~1-2
@@ -78,6 +135,9 @@ def main(argv=None):
     kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
     prob = build_problem(cfg, kinv_ref=kinv)
     sampler, solver = prob.sampler, prob.solver
+
+    if selfcheck:
+        _struct_vcycle_batch_selfcheck(solver)
     key = jax.random.PRNGKey(cfg.seed)
     dt_bytes = 4 if cfg.dtype == "float32" else 8
 
@@ -130,17 +190,32 @@ def main(argv=None):
                 dt, outs = d, cur
         n = reps * batch
         iters = float(np.mean([np.asarray(o[-1]) for o in outs]))
+        # Steps returning (value, converged, iterations) also report the
+        # converged fraction: an unconverged capture is NOT evidence (the
+        # 2026-08-18 miscompile made level-0 silently max out its budget).
+        conv = (
+            float(np.mean([np.asarray(o[1], dtype=np.float64) for o in outs]))
+            if len(outs[0]) == 3
+            else None
+        )
+        conv_txt = "" if conv is None else f" conv {conv * 100:.0f}%"
         print(
             f"  {label:28s} {dt / n * 1e3:10.3f} ms/sample "
-            f"{n / dt:10.1f} samples/s  iters {iters:.0f} "
+            f"{n / dt:10.1f} samples/s  iters {iters:.0f}{conv_txt} "
             f"(compile {compile_s:.1f}s)"
         )
-        return {
+        if conv is not None and conv < 1.0:
+            print(f"  !! {label}: only {conv * 100:.0f}% of samples "
+                  f"converged - treat this capture as INVALID")
+        out = {
             "sec_per_sample": dt / n,
             "samples_per_sec": n / dt,
             "mean_iterations": iters,
             "compile_sec": compile_s,
         }
+        if conv is not None:
+            out["converged_fraction"] = conv
+        return out
 
     evidence = {
         "config": {
@@ -227,7 +302,7 @@ def main(argv=None):
                         break
                     q, it_f, conv, p = f3(s_f, p)
                     iters = iters + it_f
-                return q - qc, iters
+                return q - qc, conv, iters
 
             # Level-0 pair solves are minutes each (segmented ~500-iteration
             # MG-CG at 4.5M dofs); 2 measured reps bound the harness runtime.
@@ -239,7 +314,7 @@ def main(argv=None):
             def single(k, level=level, batch=batch):
                 s = sampler.eval(level, sampler.sample(level, k, batch))
                 q, _, info = solver.solve_fwd(level, s)
-                return q, info.iterations
+                return q, info.converged, info.iterations
 
             row["mlmc_pair"] = timed(single, "coarsest Q (Darcy)", batch)
         evidence["levels"].append(row)

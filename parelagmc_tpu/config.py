@@ -163,6 +163,20 @@ class ProblemConfig:
     # FINEST mesh and agglomerates it nlevels-1 times.
     unstructured_coarsening: bool = False
     coarsening_factor: int = 8
+    # Device grid-axis layout (tensor meshes only). TPU tiles the two
+    # minormost array axes to (8, 128) for f32, so a small x-count pads the
+    # 128-lane dimension: SPE10's (60, 220, 85) grid wastes 2.17x of every
+    # grid-shaped tensor's HBM footprint/bandwidth (60 -> 128 lanes).
+    # "auto" relabels the mesh axes so the LARGEST cell count is x (the
+    # fastest/minor dim) - measured 1.59x on the SPE10 level-0 V-cycle
+    # (examples/spe10_layout_probe.py). A tuple gives the explicit
+    # permutation (new axis i = original axis order[i]). The relabeling is
+    # applied at build time to every axis-coupled input (ncells, lengths,
+    # spacings, kinv_ref, boundary-side attributes, qoi_point, n_buffer) -
+    # the PHYSICAL problem is identical, only the memory layout changes
+    # (PRNG cell assignment permutes with the grid, so individual sample
+    # realizations differ; the law does not). None = keep the given order.
+    axis_order: object = None  # None | "auto" | Tuple[int, ...]
 
     # Coarse-level Darcy coefficient operators: "galerkin" (coarse velocity
     # mass = exact RAP of the fine kinv_ref-weighted mass through the RT

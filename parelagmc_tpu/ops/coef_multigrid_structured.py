@@ -101,62 +101,59 @@ def _tail(n_f: int, n_c: int) -> int:
     return n_f - 2 * (n_c - 1)
 
 
-def _ax_slice(x: jnp.ndarray, axis: int, sl: slice) -> jnp.ndarray:
-    idx = [slice(None)] * x.ndim
-    idx[axis] = sl
-    return x[tuple(idx)]
+# MISCOMPILE GUARD (measured, 2026-08-18): axis-native forms of the three
+# transfer helpers below (middle-axis reshape-split + sum for _group_sum,
+# expand_dims + broadcast + reshape-merge for _repeat_groups, middle-axis
+# strided slice for _plane_select - no moveaxis anywhere) are MISCOMPILED
+# by this XLA:TPU backend when all three are fused into a multi-level
+# V-cycle program at batch >= 2: outputs for sample 0 change with the
+# batch size (max rel diff O(1); CPU backend is exact on the identical
+# jaxpr, batch 1 is exact, and every helper is exact in isolation - only
+# the composed multi-output program breaks, e.g. at level shapes
+# (110,30,42)/(55,15,21)/(27,7,10)). Reverting ANY one helper to the
+# moveaxis(axis, -1) form below clears the observed reproducer, but the
+# failure is fusion-context-dependent, so ALL THREE stay in the
+# moveaxis form (round-2 production-proven at SPE10 scale). The axis-
+# native variants saved one lane-crossing transpose per axis per
+# transfer; do not reintroduce them without a batch-consistency check on
+# real TPU (examples/spe10_performance.py --selfcheck).
 
 
 def _group_sum(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
-    """Sum groups of [2]*(n_c-1) + [tail] along `axis`.
-
-    Axis-native on purpose: an earlier moveaxis(axis, -1) formulation made
-    the lane (x) dimension rotate through every transfer - a lane-crossing
-    transpose per axis per cycle, which on TPU runs far below HBM
-    bandwidth. Splitting a MIDDLE axis into (n_c-1, 2) is a pure reshape
-    (no data movement) and the pair sum is one pass."""
+    """Sum groups of [2]*(n_c-1) + [tail] along `axis` (slices only)."""
     if n_c == n_f:  # passthrough axis (already 1-2 cells)
         return x
-    axis = axis % x.ndim
-    main = _ax_slice(x, axis, slice(0, 2 * (n_c - 1)))
-    main = main.reshape(
-        main.shape[:axis] + (n_c - 1, 2) + main.shape[axis + 1:]
-    ).sum(axis=axis + 1)
-    tail = _ax_slice(x, axis, slice(2 * (n_c - 1), None)).sum(
-        axis=axis, keepdims=True
-    )
-    return jnp.concatenate([main, tail], axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : 2 * (n_c - 1)]
+    main = main.reshape(main.shape[:-1] + (n_c - 1, 2)).sum(axis=-1)
+    tail = x[..., 2 * (n_c - 1):].sum(axis=-1, keepdims=True)
+    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
 
 
 def _repeat_groups(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
     """Adjoint-structure of _group_sum: repeat each of the n_c entries of
-    `x` along `axis` over its [2]*(n_c-1) + [tail] group, yielding n_f
-    (axis-native broadcast + reshape; see _group_sum)."""
+    `x` along `axis` over its [2]*(n_c-1) + [tail] group, yielding n_f."""
     if n_c == n_f:
         return x
     t = _tail(n_f, n_c)
-    axis = axis % x.ndim
-    main = _ax_slice(x, axis, slice(0, n_c - 1))
-    shp = main.shape[:axis + 1] + (2,) + main.shape[axis + 1:]
-    main = jnp.broadcast_to(jnp.expand_dims(main, axis + 1), shp).reshape(
-        main.shape[:axis] + (2 * (n_c - 1),) + main.shape[axis + 1:]
-    )
-    last = _ax_slice(x, axis, slice(n_c - 1, None))
-    tail = jnp.broadcast_to(
-        last, last.shape[:axis] + (t,) + last.shape[axis + 1:]
-    )
-    return jnp.concatenate([main, tail], axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : n_c - 1]
+    main = jnp.broadcast_to(
+        main[..., None], main.shape + (2,)
+    ).reshape(main.shape[:-1] + (2 * (n_c - 1),))
+    tail = jnp.broadcast_to(x[..., n_c - 1:], x.shape[:-1] + (t,))
+    return jnp.moveaxis(jnp.concatenate([main, tail], axis=-1), -1, axis)
 
 
 def _plane_select(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
     """Coarse face planes of one axis: fine planes 0, 2, ..., 2(n_c-1), n_f
-    (static strided slice + the final plane; axis-native)."""
+    (static strided slice + the final plane)."""
     if n_c == n_f:
         return x
-    axis = axis % x.ndim
-    main = _ax_slice(x, axis, slice(0, 2 * (n_c - 1) + 1, 2))
-    last = _ax_slice(x, axis, slice(n_f, None))
-    return jnp.concatenate([main, last], axis=axis)
+    x = jnp.moveaxis(x, axis, -1)
+    main = x[..., : 2 * (n_c - 1) + 1: 2]
+    last = x[..., n_f:]
+    return jnp.moveaxis(jnp.concatenate([main, last], axis=-1), -1, axis)
 
 
 # -- per-sample hierarchy setup ----------------------------------------------

@@ -91,7 +91,20 @@ def _pallas_normal(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.ndar
             (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(seed)
-    return out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
+    out = out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
+    # MISCOMPILE GUARD (measured on real TPU, 2026-08-18): materialize the
+    # noise before any consumer fuses with the kernel's pad-slice-reshape
+    # epilogue. Without this barrier, XLA:TPU silently corrupts ~10% of the
+    # values (O(1) garbage incl. +/-inf after exp) when the noise feeds the
+    # SPDE spectral transform chain with a full-field program output at
+    # some shape/batch combinations (SPE10 level-1 (110,30,42) grid, batch
+    # 128, largest-dim-minor layout) - while the identical program with a
+    # scalar-reduction output, batch 8, or a barrier here is exact. Seam
+    # bisect on the real program: barrier on xi or on g*w_sqrt*xi fixes it;
+    # barriers anywhere downstream (modal vector, pre-exp) do not - the
+    # bad fusion is at the PRNG boundary. Same backend-bug class as the
+    # guards in ops/coef_multigrid_structured.py and physics/darcy.py.
+    return jax.lax.optimization_barrier(out)
 
 
 def _seed_from_key(key) -> jnp.ndarray:
@@ -143,7 +156,9 @@ def _pallas_uniform(seed: jnp.ndarray, shape: Tuple[int, ...], dtype) -> jnp.nda
             (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(seed)
-    return out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
+    out = out.reshape(-1)[:n_total].reshape(shape).astype(dtype)
+    # Same PRNG-boundary miscompile guard as _pallas_normal.
+    return jax.lax.optimization_barrier(out)
 
 
 def sample_uniforms(key, shape: Tuple[int, ...], dtype=jnp.float32) -> jnp.ndarray:

@@ -77,6 +77,85 @@ def fine_mesh_spec(cfg: ProblemConfig):
     raise ValueError(f"unknown mesh '{cfg.mesh}'")
 
 
+def resolve_axis_order(axis_order, fine_ncells) -> tuple:
+    """Normalize cfg.axis_order to an explicit permutation tuple.
+
+    "auto" moves the largest cell count to the x (minor/fastest) axis and
+    keeps the remaining axes in their original relative order - the
+    measured-best rule for SPE10 (examples/spe10_layout_probe.py: mesh
+    order (220, 60, 85) runs the V-cycle 1.59x faster than (60, 220, 85)
+    because x pads to 128 TPU lanes)."""
+    d = len(fine_ncells)
+    if axis_order is None or axis_order == "none":
+        return tuple(range(d))
+    if axis_order == "auto":
+        i = int(np.argmax(fine_ncells))
+        return (i,) + tuple(a for a in range(d) if a != i)
+    order = tuple(int(a) for a in axis_order)
+    if sorted(order) != list(range(d)):
+        raise ValueError(f"axis_order {order} is not a permutation of 0..{d - 1}")
+    return order
+
+
+def permute_cell_field(field, ncells, order):
+    """Re-flatten an x-fastest cell field (n,) or per-axis (n, d) given on
+    the ORIGINAL `ncells` grid to the permuted grid's x-fastest layout."""
+    if field is None:
+        return None
+    field = np.asarray(field)
+    d = len(ncells)
+    order = tuple(order)
+    if order == tuple(range(d)):
+        return field
+    grid_shape = tuple(int(n) for n in ncells[::-1])  # (z, y, x)
+    # Output array position j holds new mesh axis d-1-j = orig mesh axis
+    # order[d-1-j], which lives at input array position d-1-order[d-1-j].
+    perm = tuple(d - 1 - order[d - 1 - j] for j in range(d))
+    if field.ndim == 2:  # per-axis columns (n, d)
+        g = field.reshape(grid_shape + (d,)).transpose(perm + (d,))
+        return np.ascontiguousarray(g[..., list(order)]).reshape(-1, d)
+    g = field.reshape(grid_shape).transpose(perm)
+    return np.ascontiguousarray(g).reshape(-1)
+
+
+def _permute_side_attrs(attrs, order):
+    """Remap an MFEM-convention per-side attribute tuple: the data on the
+    physical side (orig axis order[i], side s) is addressed, after the
+    relabel, by attribute index attr(new axis i, side s)."""
+    from parelagmc_tpu.mesh.structured import _mfem_bdr_attr
+
+    d = len(order)
+    if len(attrs) != 2 * d:
+        return attrs  # non-box attribute list: caller keeps responsibility
+    new = list(attrs)
+    for i in range(d):
+        for s in (0, 1):
+            new[_mfem_bdr_attr(d, i, s) - 1] = attrs[
+                _mfem_bdr_attr(d, order[i], s) - 1
+            ]
+    return tuple(new)
+
+
+def _permute_config_axes(cfg: ProblemConfig, order) -> ProblemConfig:
+    """Config with every axis-coupled field relabeled by `order` (and
+    axis_order cleared so the permutation is applied exactly once)."""
+    import dataclasses
+
+    d = len(order)
+    pick = lambda t: tuple(t[a] for a in order) if len(t) == d else tuple(t)
+    return dataclasses.replace(
+        cfg,
+        axis_order=None,
+        ncells=pick(cfg.ncells),
+        lengths=pick(cfg.lengths),
+        n_buffer=pick(cfg.n_buffer),
+        qoi_point=pick(cfg.qoi_point),
+        ess_attr=_permute_side_attrs(cfg.ess_attr, order),
+        obs_attr=_permute_side_attrs(cfg.obs_attr, order),
+        inflow_attr=_permute_side_attrs(cfg.inflow_attr, order),
+    )
+
+
 def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> Problem:
     from parelagmc_tpu.fem.hierarchy import build_geometric_hierarchy_from_fine
 
@@ -84,6 +163,12 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
     if cfg.mesh.endswith(".mesh"):
         return _build_from_mesh_file(cfg, dtype)
     fine_ncells, fine_spacings = fine_mesh_spec(cfg)
+    order = resolve_axis_order(cfg.axis_order, fine_ncells)
+    if order != tuple(range(len(fine_ncells))):
+        kinv_ref = permute_cell_field(kinv_ref, fine_ncells, order)
+        cfg = _permute_config_axes(cfg, order)
+        fine_ncells = tuple(fine_ncells[a] for a in order)
+        fine_spacings = [fine_spacings[a] for a in order]
     if cfg.embedding != "none" and any(
         n % 2 ** cfg.refinements for n in fine_ncells
     ):

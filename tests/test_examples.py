@@ -159,10 +159,14 @@ def test_spe10_mlmc_synthetic(capsys, tmp_path, monkeypatch):
     out = capsys.readouterr().out
     assert "Estimate" in out
     # Fixed-seed f64 anchor (round-2 VERDICT item 10): scaled-grid flux QoI.
+    # Re-pinned when the SPE10 drivers gained axis_order="auto" (the
+    # largest-dim-minor device layout permutes the PRNG cell assignment, so
+    # individual realizations - not the law - changed; the physics
+    # equivalence of the relabeling is oracle-tested in test_axis_order.py).
     import re
 
     est = float(re.search(r"Estimate\s+(\S+)", out).group(1))
-    np.testing.assert_allclose(est, 596.488, rtol=0.01)
+    np.testing.assert_allclose(est, 487.129, rtol=0.01)
 
 
 def test_sampler_test_driver(capsys):
