@@ -17,6 +17,7 @@ from parelagmc_tpu.uq import BayesianInverseProblem
 def main(argv=None):
     cfg = parse_config(argv)
     prob = build_problem(cfg)
+    cfg = prob.config  # axis-order permutation applied (problems.py)
     bip = BayesianInverseProblem(prob.solver, prob.sampler, cfg, prob.dtype)
     y = bip.generate_observational_data()
     print(f"-- observational data: {y}")

@@ -19,6 +19,7 @@ def main(argv=None):
         argv.remove("--splitting")
     cfg = parse_config(argv, mse=5e-3)
     prob = build_problem(cfg)
+    cfg = prob.config  # axis-order permutation applied (problems.py)
     bip = BayesianInverseProblem(prob.solver, prob.sampler, cfg, prob.dtype)
     bip.generate_observational_data()
     mgr = SLBayesRatioManager(bip, cfg, splitting=splitting)

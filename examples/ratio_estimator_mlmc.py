@@ -20,6 +20,7 @@ def main(argv=None):
         argv.remove("--splitting")
     cfg = parse_config(argv)
     prob = build_problem(cfg)
+    cfg = prob.config  # axis-order permutation applied (problems.py)
     bip = BayesianInverseProblem(prob.solver, prob.sampler, cfg, prob.dtype)
     bip.generate_observational_data()
     mgr = BayesRatioManager(bip, cfg, splitting=splitting)

@@ -187,7 +187,7 @@ def build_geometric_hierarchy_from_fine(
     (the trailing cells merge into the last coarse cell), so grids like
     SPE10's 60x220x85 coarsen without truncation - this replaces the
     reference's METIS agglomeration (src/Utilities.cpp:125-155) for tensor
-    grids; true unstructured agglomeration is planned work."""
+    grids; unstructured meshes use fem/agglomeration.py instead."""
     meshes = [fine_mesh]
     for _ in range(nlevels - 1):
         prev = meshes[-1]

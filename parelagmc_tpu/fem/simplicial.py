@@ -4,10 +4,11 @@ Extends the framework beyond tensor grids to the reference's triangular and
 tetrahedral meshes (square.mesh, cube_tet.mesh, circle.mesh, ... -
 /root/reference/meshes): host-side NumPy assembly of the same operator
 bundle the structured path produces, consumed by the *generic* device
-machinery (coefficient-ELL gathers, batched PCG/MINRES). Multilevel
-agglomerated hierarchies on these meshes (the reference's ParELAG AMGe
-coarsening) are planned work; this provides the single-level capability
-(MC estimation, samplers, Darcy) on unstructured meshes.
+machinery (coefficient-ELL gathers, batched PCG/MINRES). This module
+provides the single-level spaces; multilevel hierarchies on these meshes
+come from uniform refinement (fem/simplicial_hierarchy.py) or algebraic
+agglomeration with minimum-energy coarse bases (fem/agglomeration.py, the
+analog of the reference's ParELAG AMGe coarsening).
 
 Discretization facts used:
 * Faces (edges in 2D) are identified by sorted vertex tuples; the global

@@ -16,7 +16,8 @@ Relation to the reference: the reference builds coarse levels by
 agglomerating a *given* fine unstructured mesh with METIS + AMGe coarse
 bases (src/Utilities.cpp:125-155); here the hierarchy grows by refining the
 given mesh instead - the same nested-space MLMC structure with exact
-transfer operators (true algebraic agglomeration remains planned work).
+transfer operators. The agglomerating alternative (coarsening the given
+mesh in place, minimum-energy coarse RT bases) is fem/agglomeration.py.
 
 Verified invariants (tests/test_unstructured_ml.py): P^T M_f P == M_c,
 commuting divergence diagram, P^T W_f P == W_c.

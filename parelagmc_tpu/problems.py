@@ -143,6 +143,12 @@ def _permute_config_axes(cfg: ProblemConfig, order) -> ProblemConfig:
 
     d = len(order)
     pick = lambda t: tuple(t[a] for a in order) if len(t) == d else tuple(t)
+    # bayes_obs_coords is m points x d coords flattened; permute the coord
+    # columns of every point (new axis i holds the original axis order[i]).
+    obs = tuple(cfg.bayes_obs_coords)
+    if obs and len(obs) % d == 0:
+        pts = [obs[i : i + d] for i in range(0, len(obs), d)]
+        obs = tuple(p[a] for p in pts for a in order)
     return dataclasses.replace(
         cfg,
         axis_order=None,
@@ -150,6 +156,7 @@ def _permute_config_axes(cfg: ProblemConfig, order) -> ProblemConfig:
         lengths=pick(cfg.lengths),
         n_buffer=pick(cfg.n_buffer),
         qoi_point=pick(cfg.qoi_point),
+        bayes_obs_coords=obs,
         ess_attr=_permute_side_attrs(cfg.ess_attr, order),
         obs_attr=_permute_side_attrs(cfg.obs_attr, order),
         inflow_attr=_permute_side_attrs(cfg.inflow_attr, order),

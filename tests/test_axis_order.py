@@ -62,6 +62,40 @@ def test_permute_cell_field_indexing():
     )
 
 
+def test_axis_order_bayes_obs_equivalence():
+    """Observation functionals (bayes_obs_coords are PHYSICAL points) must
+    give identical G(w) under an axis relabel — guards the obs-coords
+    column permutation in _permute_config_axes."""
+    from parelagmc_tpu.uq import BayesianInverseProblem
+
+    base_cfg = ProblemConfig(
+        mesh="box",
+        ncells=(2, 3, 1),
+        lengths=(2.0, 3.0, 1.0),
+        refinements=2,
+        dtype="float64",
+        bayes_num_obs=2,
+        bayes_obs_coords=(0.5, 1.0, 0.25, 1.5, 2.5, 0.75),
+        bayes_eps=0.3,
+    )
+    base_cfg.darcy_solver.relative_tolerance = 1e-12
+    base_cfg.darcy_solver.max_iterations = 400
+    fine_ncells, _ = fine_mesh_spec(base_cfg)
+    order = (1, 0, 2)
+    base = build_problem(base_cfg)
+    perm = build_problem(dataclasses.replace(base_cfg, axis_order=order))
+    bip_b = BayesianInverseProblem(base.solver, base.sampler, base.config, base.dtype)
+    bip_p = BayesianInverseProblem(perm.solver, perm.sampler, perm.config, perm.dtype)
+    rng = np.random.default_rng(7)
+    for lvl in range(base.hierarchy.nlevels):
+        mesh_l = base.hierarchy.levels[lvl].mesh
+        w = np.exp(rng.normal(size=(1, mesh_l.num_cells)) * 0.5)
+        w_p = permute_cell_field(w[0], tuple(mesh_l.shape), order)[None]
+        G_b = np.asarray(bip_b.compute_G(lvl, w)[0])
+        G_p = np.asarray(bip_p.compute_G(lvl, w_p)[0])
+        np.testing.assert_allclose(G_b, G_p, rtol=1e-8, err_msg=f"level {lvl}")
+
+
 @pytest.mark.parametrize("qoi", ["eff_perm", "local_avg_p"])
 @pytest.mark.parametrize("axis_order", [(1, 0, 2), (2, 0, 1), "auto"])
 def test_axis_order_qoi_equivalence(qoi, axis_order):
