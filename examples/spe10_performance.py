@@ -273,7 +273,7 @@ def main(argv=None):
                 qc, _, i_c, p_c = solver.solve_fwd(
                     level + 1, s_c, return_pressure=True
                 )
-                return s_f, p_c, qc, i_c.iterations
+                return s_f, p_c, qc, i_c.iterations, i_c.converged
 
             def pair_fine(s_f, p_c, level=level):
                 q, _, i_f, p = solver.solve_fwd_warm(
@@ -294,7 +294,7 @@ def main(argv=None):
             f3 = jit_hoisted(pair_cont, ex[0], ex2[3]) if segments > 1 else None
 
             def pair(k):
-                s_f, p_c, qc, it_c = f1(k)
+                s_f, p_c, qc, it_c, conv_c = f1(k)
                 q, it_f, conv, p = f2(s_f, p_c)
                 iters = it_f + it_c
                 for _ in range(segments - 1):
@@ -302,7 +302,10 @@ def main(argv=None):
                         break
                     q, it_f, conv, p = f3(s_f, p)
                     iters = iters + it_f
-                return q - qc, conv, iters
+                # converged_fraction canary must cover BOTH solves: an
+                # unconverged cold coarse solve corrupts Y=q-qc just as
+                # surely as an unconverged fine one (review r3).
+                return q - qc, conv & conv_c, iters
 
             # Level-0 pair solves are minutes each (segmented ~500-iteration
             # MG-CG at 4.5M dofs); 2 measured reps bound the harness runtime.

@@ -47,6 +47,34 @@ class _AxisData(NamedTuple):
     perm_face: Tuple[int, ...]
 
 
+def build_line_tables(m_lo, m_mid, m_hi, ess, w, ess_prev=None, ess_next=None):
+    """(dl, diag, du) for the tridiagonal mass lines along the LAST axis:
+    per-cell blocks (m_lo, m_mid, m_hi) scaled by the sample coefficient w
+    (cells along the last axis; the face grid has one more entry), with
+    essential rows replaced by identity and couplings into essential
+    neighbors zeroed. ess_prev/ess_next default to the local roll;
+    shard-distributed callers pass halo-aware masks
+    (parallel/spatial_darcy.py). Shared by MassTridiagSolver.factor and
+    the spatially-sharded solver so the masking rules cannot drift."""
+    c_lo = w * m_lo
+    c_mid = w * m_mid
+    c_hi = w * m_hi
+    zero = jnp.zeros_like(c_lo[..., :1])
+    diag = jnp.concatenate([c_lo, zero], axis=-1) + jnp.concatenate(
+        [zero, c_hi], axis=-1
+    )
+    du = jnp.concatenate([c_mid, zero], axis=-1)  # couples (i, i+1)
+    dl = jnp.concatenate([zero, c_mid], axis=-1)  # couples (i, i-1)
+    if ess_next is None:
+        ess_next = jnp.concatenate([ess[..., 1:], ess[..., :1]], axis=-1)
+    if ess_prev is None:
+        ess_prev = jnp.concatenate([ess[..., -1:], ess[..., :-1]], axis=-1)
+    diag = jnp.where(ess, 1.0, diag)
+    du = jnp.where(ess | ess_next, 0.0, du)
+    dl = jnp.where(ess | ess_prev, 0.0, dl)
+    return dl, diag, du
+
+
 def _thomas_solve(dl, d, du, b):
     """Batched Thomas algorithm for tridiagonal systems along the LAST axis.
 
@@ -179,23 +207,9 @@ class MassTridiagSolver(NamedTuple):
         for a in range(d):
             ax = self.axes[a]
             w_a = jnp.transpose(wg, tuple(range(nb)) + tuple(nb + p for p in ax.perm_cell))
-            c_lo = w_a * ax.m_lo
-            c_mid = w_a * ax.m_mid
-            c_hi = w_a * ax.m_hi
-            zero = jnp.zeros_like(c_lo[..., :1])
-            # Face-grid arrays along the line (n_a + 1 faces).
-            diag = jnp.concatenate([c_lo, zero], axis=-1) + jnp.concatenate(
-                [zero, c_hi], axis=-1
+            factors.append(
+                build_line_tables(ax.m_lo, ax.m_mid, ax.m_hi, ax.ess, w_a)
             )
-            du = jnp.concatenate([c_mid, zero], axis=-1)  # couples (i, i+1)
-            dl = jnp.concatenate([zero, c_mid], axis=-1)  # couples (i, i-1)
-            ess = ax.ess
-            ess_next = jnp.concatenate([ess[..., 1:], ess[..., :1]], axis=-1)
-            ess_prev = jnp.concatenate([ess[..., -1:], ess[..., :-1]], axis=-1)
-            diag = jnp.where(ess, 1.0, diag)
-            du = jnp.where(ess | ess_next, 0.0, du)
-            dl = jnp.where(ess | ess_prev, 0.0, dl)
-            factors.append((dl, diag, du))
         return tuple(factors)
 
     def apply_factored(self, factors, rhs: jnp.ndarray) -> jnp.ndarray:

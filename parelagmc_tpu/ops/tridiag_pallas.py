@@ -31,7 +31,8 @@ The recurrences are identical to _thomas_solve (forward
 c_i = du_i/(d_i - dl_i c_{i-1}), g_i = (b_i - dl_i g_{i-1})/denom;
 backward x_i = g_i - c_i x_{i+1}); systems are SPD diagonally-dominant
 RT0 mass lines, so no pivoting. Oracle-tested against the scan
-implementation (tests/test_tensorsolve.py) and run in interpreter mode
+implementation (tests/test_mass_solve.py, the "pallas" variant of
+test_mass_tridiag_scan_variants_match_dense) and run in interpreter mode
 on CPU.
 
 Reference context: the reference never needs this - hypre AMG smooths

@@ -12,10 +12,12 @@ realization's solve state over the 'sp' axis of a TPU mesh.
 
 Design (tensor-native, no translated SharingMaps):
 
-* The domain is cut into equal slabs along one mesh axis (default: the
-  longest). Cell fields, x/z face grids and the slab-owned y-face planes
-  live shard-local; every operator application is grid arithmetic on the
-  local block plus a one-plane `ppermute` halo exchange.
+* The domain is cut into equal slabs along the mesh y axis (under the
+  axis_order="auto" layout, relabel the grid so the axis to cut lands on
+  y before constructing the solver). Cell fields, x/z face grids and the
+  slab-owned y-face planes live shard-local; every operator application
+  is grid arithmetic on the local block plus a one-plane `ppermute` halo
+  exchange.
 * The exact batched M(w)^{-1} survives sharding: lines orthogonal to the
   cut axis stay shard-local (plain Thomas); lines ALONG the cut axis are
   solved exactly by a SPIKE reduction - local Thomas on the decoupled
@@ -41,66 +43,72 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def spike_tridiag_solve(dl, d, du, b, axis_name: str, n_sp: int):
-    """Exact solve of shard-distributed tridiagonal systems along the LAST
-    axis (batched over leading dims), inside shard_map.
+def spike_tridiag_factor(dl, d, du, axis_name: str, n_sp: int):
+    """Matrix-dependent half of the shard-distributed SPIKE tridiagonal
+    solve: decoupled local tables, the two boundary spikes, and the
+    LU-factored 2*n_sp interface system. The tables depend only on the
+    sample coefficient, so callers factor ONCE per Krylov solve and apply
+    per iteration (XLA does not hoist this out of while_loop bodies;
+    review r3).
 
     Each shard holds m consecutive rows of every line. dl[..., 0] is the
     coupling to the previous shard's last row (0 on shard 0), du[..., -1]
     the coupling to the next shard's first row (0 on the last shard) -
     i.e. callers pass the GLOBAL line coefficients sliced per shard.
-
-    SPIKE reduction: solve the decoupled local chunk for the rhs and the
-    two boundary spikes, all_gather six scalars per line, solve the
-    2*n_sp interface system redundantly (dense batched, diagonally
-    dominant), and combine.
     """
+    from jax.scipy.linalg import lu_factor
+
     from parelagmc_tpu.ops.mass_solve import _thomas_solve
 
-    m = b.shape[-1]
     # Decouple the chunk: interior tridiag drops the cross-shard couplings.
-    dl_in = dl.at[..., 0].set(0.0) if m else dl
+    dl_in = dl.at[..., 0].set(0.0)
     du_in = du.at[..., -1].set(0.0)
-    # Three right-hand sides: b, spike from below, spike from above.
-    e_lo = jnp.zeros_like(b).at[..., 0].set(1.0) * dl[..., :1]
-    e_hi = jnp.zeros_like(b).at[..., -1].set(1.0) * du[..., -1:]
-    rhs = jnp.stack([b, jnp.broadcast_to(e_lo, b.shape),
-                     jnp.broadcast_to(e_hi, b.shape)], axis=0)
-    sol = _thomas_solve(dl_in[None], d[None], du_in[None], rhs)
-    xd, v, w = sol[0], sol[1], sol[2]
+    # Boundary spikes: local solves against the cross-shard couplings.
+    e_lo = jnp.zeros_like(d).at[..., 0].set(1.0) * dl[..., :1]
+    e_hi = jnp.zeros_like(d).at[..., -1].set(1.0) * du[..., -1:]
+    sol = _thomas_solve(dl_in[None], d[None], du_in[None],
+                        jnp.stack([e_lo, e_hi], axis=0))
+    v, w = sol[0], sol[1]
 
-    # Interface data: first/last entries of each local solve.
-    tips = jnp.stack(
-        [
-            xd[..., 0], xd[..., -1],
-            v[..., 0], v[..., -1],
-            w[..., 0], w[..., -1],
-        ],
-        axis=-1,
-    )  # (..., 6)
-    allt = jax.lax.all_gather(tips, axis_name)  # (n_sp, ..., 6)
-
-    # Reduced system in u = [a_0, z_0, a_1, z_1, ...] (a_s/z_s = first/last
-    # entry of shard s's true solution):
+    # Interface matrix in u = [a_0, z_0, a_1, z_1, ...] (a_s/z_s = first/
+    # last entry of shard s's true solution):
     #   a_s + v_s[0]  * z_{s-1} + w_s[0]  * a_{s+1} = xd_s[0]
     #   z_s + v_s[-1] * z_{s-1} + w_s[-1] * a_{s+1} = xd_s[-1]
+    tips = jnp.stack(
+        [v[..., 0], v[..., -1], w[..., 0], w[..., -1]], axis=-1
+    )  # (..., 4)
+    allt = jax.lax.all_gather(tips, axis_name)  # (n_sp, ..., 4)
     ns2 = 2 * n_sp
     batch = tips.shape[:-1]
-    A = jnp.zeros(batch + (ns2, ns2), dtype=b.dtype)
-    eye = jnp.eye(ns2, dtype=b.dtype)
-    A = A + eye
-    rhs_r = jnp.zeros(batch + (ns2,), dtype=b.dtype)
+    A = jnp.zeros(batch + (ns2, ns2), dtype=d.dtype) + jnp.eye(
+        ns2, dtype=d.dtype
+    )
     for s in range(n_sp):
-        d0 = jnp.moveaxis(allt[s], -1, 0)  # (6, ...)
-        rhs_r = rhs_r.at[..., 2 * s].set(d0[0])
-        rhs_r = rhs_r.at[..., 2 * s + 1].set(d0[1])
+        d0 = jnp.moveaxis(allt[s], -1, 0)  # (4, ...)
         if s > 0:
-            A = A.at[..., 2 * s, 2 * s - 1].set(d0[2])
-            A = A.at[..., 2 * s + 1, 2 * s - 1].set(d0[3])
+            A = A.at[..., 2 * s, 2 * s - 1].set(d0[0])
+            A = A.at[..., 2 * s + 1, 2 * s - 1].set(d0[1])
         if s + 1 < n_sp:
-            A = A.at[..., 2 * s, 2 * (s + 1)].set(d0[4])
-            A = A.at[..., 2 * s + 1, 2 * (s + 1)].set(d0[5])
-    u = jnp.linalg.solve(A, rhs_r[..., None])[..., 0]
+            A = A.at[..., 2 * s, 2 * (s + 1)].set(d0[2])
+            A = A.at[..., 2 * s + 1, 2 * (s + 1)].set(d0[3])
+    return dl_in, d, du_in, v, w, lu_factor(A)
+
+
+def spike_tridiag_apply(factors, b, axis_name: str, n_sp: int):
+    """rhs-dependent half: local Thomas on the decoupled chunk, all_gather
+    of TWO scalars per line, LU back-substitution of the interface system
+    (redundant per shard), spike combination."""
+    from jax.scipy.linalg import lu_solve
+
+    from parelagmc_tpu.ops.mass_solve import _thomas_solve
+
+    dl_in, d, du_in, v, w, lu = factors
+    xd = _thomas_solve(dl_in, d, du_in, b)
+    tips = jnp.stack([xd[..., 0], xd[..., -1]], axis=-1)  # (..., 2)
+    allt = jax.lax.all_gather(tips, axis_name)  # (n_sp, ..., 2)
+    ns2 = 2 * n_sp
+    rhs_r = jnp.moveaxis(allt, 0, -2).reshape(tips.shape[:-1] + (ns2,))
+    u = lu_solve(lu, rhs_r[..., None])[..., 0]
 
     s_idx = jax.lax.axis_index(axis_name)
     z_prev = jnp.where(
@@ -114,6 +122,15 @@ def spike_tridiag_solve(dl, d, du, b, axis_name: str, n_sp: int):
         0.0,
     )
     return xd - v * z_prev[..., None] - w * a_next[..., None]
+
+
+def spike_tridiag_solve(dl, d, du, b, axis_name: str, n_sp: int):
+    """Exact solve of shard-distributed tridiagonal systems along the LAST
+    axis (batched over leading dims), inside shard_map: one-shot
+    factor + apply (Krylov callers keep the factors instead)."""
+    return spike_tridiag_apply(
+        spike_tridiag_factor(dl, d, du, axis_name, n_sp), b, axis_name, n_sp
+    )
 
 
 class _Grids(NamedTuple):
@@ -136,27 +153,6 @@ class _Grids(NamedTuple):
     sdiag: jnp.ndarray  # cell grid: diag of S_bar (Jacobi preconditioner)
 
 
-def _thomas_grid(m_lo, m_mid, m_hi, ess, w, r):
-    """Local exact tridiagonal mass solve along the LAST axis of the face
-    grid `r` (cells along that axis = r.shape[-1] - 1), with per-cell
-    tables and coefficient w in matching layout (cells along last axis)."""
-    from parelagmc_tpu.ops.mass_solve import _thomas_solve
-
-    c_lo = w * m_lo
-    c_mid = w * m_mid
-    c_hi = w * m_hi
-    zero = jnp.zeros_like(c_lo[..., :1])
-    diag = jnp.concatenate([c_lo, zero], axis=-1) + jnp.concatenate(
-        [zero, c_hi], axis=-1
-    )
-    du = jnp.concatenate([c_mid, zero], axis=-1)
-    dl = jnp.concatenate([zero, c_mid], axis=-1)
-    ess_next = jnp.concatenate([ess[..., 1:], ess[..., :1]], axis=-1)
-    ess_prev = jnp.concatenate([ess[..., -1:], ess[..., :-1]], axis=-1)
-    diag = jnp.where(ess, 1.0, diag)
-    du = jnp.where(ess | ess_next, 0.0, du)
-    dl = jnp.where(ess | ess_prev, 0.0, dl)
-    return _thomas_solve(dl, diag, du, r)
 
 
 class SpatialDarcy:
@@ -360,26 +356,25 @@ class SpatialDarcy:
             [(i, i - 1) for i in range(1, self.n_sp)],
         )
 
-    def _minv(self, g, w, w_dn, blo_y, bmid_y, r):
-        """Exact M(w)^{-1} on the face-grid triple r = (rx, ry, rz).
-        w_dn: halo of the below-shard's last cell plane of w; blo_y/bmid_y:
-        halos of its brr_y/blr_y tables."""
-        rx, ry, rz = r
-        # x lines: local, solve along the last axis directly.
-        zx = _thomas_grid(
-            g.bll[0], g.blr[0], g.brr[0], g.ess[0], w, rx
-        )
+    def _minv_factor(self, g, w, w_dn, blo_y, bmid_y):
+        """Tridiagonal tables + SPIKE factorization for M(w)^{-1}. Depends
+        only on the sample coefficient: factor ONCE per solve (before the
+        CG while_loop - XLA does not hoist this out of loop bodies; review
+        r3) and apply per iteration via _minv_apply. w_dn: halo of the
+        below-shard's last cell plane of w; blo_y/bmid_y: halos of its
+        brr_y/blr_y tables."""
+        from parelagmc_tpu.ops.mass_solve import build_line_tables
+
+        # x lines: local, along the last axis directly.
+        fx = build_line_tables(g.bll[0], g.blr[0], g.brr[0], g.ess[0], w)
         # z lines: move z (dim -3) last.
         mv = lambda t: jnp.moveaxis(t, -3, -1)
-        vm = lambda t: jnp.moveaxis(t, -1, -3)
-        zz = vm(
-            _thomas_grid(
-                mv(g.bll[2]), mv(g.blr[2]), mv(g.brr[2]),
-                mv(g.ess[2]), mv(w), mv(rz),
-            )
+        fz = build_line_tables(
+            mv(g.bll[2]), mv(g.blr[2]), mv(g.brr[2]), mv(g.ess[2]), mv(w)
         )
-        # y lines: SPIKE across shards; rows = the m local planes.
-        my = lambda t: jnp.moveaxis(t, -2, -1)  # (..., m or faces, x)->(..., x, m)
+        # y lines: rows = the m local planes; face j couples the below cell
+        # (halo w_dn/blo_y/bmid_y for j = 0) and the local cell j.
+        my = lambda t: jnp.moveaxis(t, -2, -1)  # (..., m | faces, x)->(..., x, m)
         w_t = my(w)
         w_lo = jnp.concatenate([my(w_dn), w_t[..., :-1]], axis=-1)
         brr_lo = jnp.concatenate([my(blo_y), my(g.brr[1])[..., :-1]], axis=-1)
@@ -413,9 +408,23 @@ class SpatialDarcy:
         diag = jnp.where(essy, 1.0, diag)
         dl = jnp.where(essy | ess_prev, 0.0, dl)
         du = jnp.where(essy | ess_next, 0.0, du)
+        fy = spike_tridiag_factor(dl, diag, du, self.axis, self.n_sp)
+        return fx, fy, fz
+
+    def _minv_apply(self, factors, r):
+        """Exact M(w)^{-1} on the face-grid triple r = (rx, ry, rz) for
+        tables built by _minv_factor."""
+        from parelagmc_tpu.ops.mass_solve import _thomas_solve
+
+        fx, fy, fz = factors
+        rx, ry, rz = r
+        zx = _thomas_solve(*fx, rx)
+        mv = lambda t: jnp.moveaxis(t, -3, -1)
+        vm = lambda t: jnp.moveaxis(t, -1, -3)
+        zz = vm(_thomas_solve(*fz, mv(rz)))
+        my = lambda t: jnp.moveaxis(t, -2, -1)
         zy = jnp.moveaxis(
-            spike_tridiag_solve(dl, diag, du, my(ry), self.axis, self.n_sp),
-            -1, -2,
+            spike_tridiag_apply(fy, my(ry), self.axis, self.n_sp), -1, -2
         )
         return zx, zy, zz
 
@@ -462,7 +471,8 @@ class SpatialDarcy:
         blo_y = self._halo_up(g.brr[1][..., -1:, :])
         bmid_y = self._halo_up(g.blr[1][..., -1:, :])
 
-        minv = lambda r: self._minv(g, w, w_dn, blo_y, bmid_y, r)
+        mfac = self._minv_factor(g, w, w_dn, blo_y, bmid_y)
+        minv = lambda r: self._minv_apply(mfac, r)
         f = tuple(
             jnp.broadcast_to(v, w.shape[:-3] + v.shape) for v in g.rhs_u
         )

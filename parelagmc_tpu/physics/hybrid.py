@@ -190,7 +190,8 @@ def hybrid_solve(
     aux_cycle=None,
 ):
     """Solve the hybridized system for a batch of coefficients w
-    (batch, n_s). Returns (Q, info).
+    (batch, n_s). Returns (Q, info, p_elem) with p_elem the recovered
+    element pressures (batch, n_cells).
 
     aux_cycle: optional cell-space SPD V-cycle r_cell -> z_cell
     (approximating S(w)^{-1} = (B M(w)^{-1} B^T)^{-1}, e.g. the per-sample

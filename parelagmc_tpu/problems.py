@@ -168,6 +168,14 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
 
     dtype = _dtype_of(cfg)
     if cfg.mesh.endswith(".mesh"):
+        if cfg.axis_order is not None:
+            import warnings
+
+            warnings.warn(
+                "axis_order applies only to the tensor-grid factories "
+                "(box/spe10/egg); it is ignored for mesh files",
+                stacklevel=2,
+            )
         return _build_from_mesh_file(cfg, dtype)
     fine_ncells, fine_spacings = fine_mesh_spec(cfg)
     order = resolve_axis_order(cfg.axis_order, fine_ncells)

@@ -414,7 +414,12 @@ class BayesRatioManager:
         self._counter = int(data["counter"])
         self.eps2 = float(data["eps2"])
         if data["g_obs"].size:
-            self.problem.G_obs = data["g_obs"]
+            # Same device/dtype cast as every other G_obs assignment
+            # (uq/bayes.py) so a resumed run is bit-identical to an
+            # uninterrupted one (review r3).
+            self.problem.G_obs = jnp.asarray(
+                data["g_obs"], dtype=self.problem.dtype
+            )
         for l, t in enumerate(data["cost_elapsed"]):
             w = TimeManager.get_watch(f"Ratio MC Sample -- Level {l}")
             w.elapsed = float(t)
