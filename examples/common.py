@@ -78,6 +78,15 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
                    choices=["galerkin", "rediscretize"],
                    help="coarse Darcy coefficient operators "
                         "(config.coarse_operators)")
+    p.add_argument("--spatial-shards", type=int, default=None,
+                   help="shard each finest-level Darcy solve into this "
+                        "many y-slabs over the device mesh (spatial "
+                        "domain decomposition, the reference's MPI/"
+                        "ParMesh axis; config.darcy_solver.spatial_shards)")
+    p.add_argument("--spatial-sample-shards", type=int, default=None,
+                   help="with --spatial-shards: additionally shard the "
+                        "sample batch over a leading 'dp' mesh axis "
+                        "(shards * sample_shards devices total)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -119,4 +128,9 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         override["lognormal"] = False
     if args.verbose:
         override["verbose"] = True
-    return dataclasses.replace(cfg, **override)
+    cfg = dataclasses.replace(cfg, **override)
+    if args.spatial_shards is not None:
+        cfg.darcy_solver.spatial_shards = args.spatial_shards
+    if args.spatial_sample_shards is not None:
+        cfg.darcy_solver.spatial_sample_shards = args.spatial_sample_shards
+    return cfg

@@ -138,6 +138,17 @@ class SolverConfig:
     # scale) regardless, so spending more cheap gather-stencil MG work per
     # iteration to cut the iteration count is a net win at scale.
     coefmg_cycles: int = 1
+    # Spatial domain decomposition of the FINEST level's Darcy solve
+    # (parallel/spatial_darcy.py): > 1 shards each realization's solve
+    # state into spatial_shards y-slabs over the device mesh (the
+    # reference's MPI/ParMesh axis, src/DarcySolver.cpp:651-675), cutting
+    # the per-device HBM footprint ~1/shards. spatial_sample_shards
+    # additionally shards the sample batch over a leading 'dp' mesh axis
+    # (device mesh (dp, sp), spatial_shards * spatial_sample_shards
+    # devices). Requires a cg-schur-family solver and essential BCs on
+    # both y boundaries; coarser levels stay replicated and batched.
+    spatial_shards: int = 0
+    spatial_sample_shards: int = 1
 
 
 @dataclass

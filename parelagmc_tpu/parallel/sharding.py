@@ -21,7 +21,12 @@ reference's domain decomposition) lives in parallel/spatial_darcy.py
 built from a DarcySolver level) with the generic-CSR prototype in
 parallel/spatial.py; it matters when a single fine level exceeds per-chip
 memory (SURVEY.md 5.7, e.g. the SPE10 finest level, HBM-capped near batch
-8 on a 16G chip).
+8 on a 16G chip). It is reachable from the config surface
+(config.darcy_solver.spatial_shards routes the finest Darcy level through
+the sharded solver; spatial_sample_shards composes a 2D (dp, sp) mesh
+sharding the batch as well) - note SampleMesh's own dp shard_map cannot
+nest around it, so pick ONE of manager-level sample sharding or the
+composed (dp, sp) spatial mesh per run.
 """
 
 from __future__ import annotations

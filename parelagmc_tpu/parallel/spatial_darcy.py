@@ -28,6 +28,16 @@ Design (tensor-native, no translated SharingMaps):
 * The pressure Schur CG runs entirely inside one `shard_map` program:
   dot products are `psum` (the MPI_Allreduce analog), the solution,
   residuals and Krylov directions never materialize unsharded.
+* Sample and spatial parallelism compose: with n_dp > 1 the device mesh
+  is 2D (dp, sp) - the batch shards over 'dp' while each realization's
+  grid shards over 'sp' (the while_loop continue-flag is psum-reduced
+  over dp so converged rows cannot exit the collective loop early).
+* Warm starts (p0 = prolongated coarse pressure of an MLMC pair) and
+  physical-pressure return make the sharded solve a drop-in for the
+  manager's cold/warm/segmented steps: DarcySolver routes its finest
+  level here when config.darcy_solver.spatial_shards > 1, so an MLMC
+  run picks up spatial DD from the config surface alone
+  (tests/test_spatial_darcy.py::test_mlmc_with_spatial_sharding).
 
 Validated against the unsharded DarcySolver on the virtual 8-device CPU
 mesh at SPE10-shaped sizes (tests/test_spatial_darcy.py).
@@ -186,12 +196,24 @@ class SpatialDarcy:
         rtol: float = 1e-6,
         axis: str = "sp",
         ess: Optional[np.ndarray] = None,
+        n_dp: int = 1,
+        sample_axis: str = "dp",
     ):
         if devices is None:
             devices = jax.devices()
         if n_sp is None:
-            n_sp = len(devices)
-        self.mesh_dev = Mesh(np.asarray(devices[:n_sp]), (axis,))
+            n_sp = len(devices) // max(1, n_dp)
+        self.n_dp = int(n_dp)
+        self.sample_axis = sample_axis
+        if self.n_dp > 1:
+            # Composed sample x spatial parallelism: the device mesh is
+            # (dp, sp); the sample batch shards over dp while each
+            # realization's grid shards over sp (the TPU analog of
+            # "several MPI jobs, each domain-decomposed").
+            dev = np.asarray(devices[: n_dp * n_sp]).reshape(n_dp, n_sp)
+            self.mesh_dev = Mesh(dev, (sample_axis, axis))
+        else:
+            self.mesh_dev = Mesh(np.asarray(devices[:n_sp]), (axis,))
         self.n_sp = n_sp
         self.axis = axis
         self.dtype = dtype
@@ -294,7 +316,7 @@ class SpatialDarcy:
             pad_cell=j(pad_cell),
             sdiag=j(sd, dtype=dtype),
         )
-        self._jit_solve = None
+        self._jit_solve = {}
 
     @staticmethod
     def _ess_face_grids(mesh, ess_attr, ess=None):
@@ -462,9 +484,11 @@ class SpatialDarcy:
         )
 
     # -- the sharded solve ------------------------------------------------------
-    def _local_solve(self, g: _Grids, w: jnp.ndarray):
+    def _local_solve(self, g: _Grids, w: jnp.ndarray, x0t=None):
         """Inside shard_map: w is the local (batch, nz, m, nx) coefficient
-        block. Returns (Q, iterations, rnorm)."""
+        block; x0t an optional warm-start pressure grid in the internal
+        p~ = -p convention (already sliced per shard). Returns
+        (Q, iterations, rnorm, p~ grid)."""
         axis, n_sp = self.axis, self.n_sp
         w = jnp.where(g.pad_cell, 1.0, w)
         w_dn = self._halo_up(w[..., -1:, :])
@@ -489,20 +513,37 @@ class SpatialDarcy:
         sw = jnp.sqrt(w)
         prec = lambda r: sw * (r / g.sdiag) * sw
 
-        x = jnp.zeros_like(rhs_s)
-        r = rhs_s
+        if x0t is None:
+            x = jnp.zeros_like(rhs_s)
+            r = rhs_s
+        else:
+            x = jnp.broadcast_to(x0t, rhs_s.shape)
+            r = rhs_s - apply_S(x)
         z = prec(r)
         p = z
         rz = vdot(r, z)
         bn = jnp.sqrt(vdot(rhs_s, rhs_s))
         thresh = self.rtol * bn
 
+        def any_active(rn):
+            """Loop-continue flag, uniform across the WHOLE device mesh.
+            vdot already makes rn identical within an sp row; with a
+            sample (dp) axis the flag must ALSO be reduced across rows -
+            a per-row jnp.any would let converged rows exit the
+            while_loop early while others still issue the body's
+            collectives, deadlocking the SPMD program (measured on the
+            8-device CPU mesh: CollectivePermute rendezvous timeout)."""
+            a = jnp.sum((rn > thresh).astype(jnp.int32))
+            if self.n_dp > 1:
+                a = jax.lax.psum(a, self.sample_axis)
+            return a > 0
+
         def cond(st):
-            it, x, r, p, rz, rn = st
-            return (it < self.max_iters) & jnp.any(rn > thresh)
+            it, x, r, p, rz, rn, go = st
+            return (it < self.max_iters) & go
 
         def body(st):
-            it, x, r, p, rz, rn = st
+            it, x, r, p, rz, rn, go = st
             Ap = apply_S(p)
             pAp = vdot(p, Ap)
             alpha = jnp.where(pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
@@ -515,12 +556,13 @@ class SpatialDarcy:
             rz_new = vdot(r, z)
             beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
             p = z + jnp.where(active, beta, 0.0)[..., None, None, None] * p
-            return it + 1, x, r, p, rz_new, jnp.sqrt(vdot(r, r))
+            rn_new = jnp.sqrt(vdot(r, r))
+            return it + 1, x, r, p, rz_new, rn_new, any_active(rn_new)
 
         rn0 = jnp.sqrt(vdot(r, r))
         it0 = jnp.zeros((), dtype=jnp.int32)
-        it, x, r, p, rz, rn = jax.lax.while_loop(
-            cond, body, (it0, x, r, p, rz, rn0)
+        it, x, r, p, rz, rn, _ = jax.lax.while_loop(
+            cond, body, (it0, x, r, p, rz, rn0, any_active(rn0))
         )
         # Velocity and QoI (p~ = -p convention matches the unsharded path:
         # rhs_s was built as B Minv f - g for the system S p~ = rhs_s).
@@ -529,30 +571,56 @@ class SpatialDarcy:
         q = vdot(x, jnp.broadcast_to(g.obs_p, x.shape))
         for ua, oa in zip(u, g.obs_u):
             q = q + vdot(ua, jnp.broadcast_to(oa, ua.shape))
-        return q, it, rn / jnp.where(bn == 0, 1.0, bn)
+        # Iterations broadcast to the batch so every output is uniformly
+        # dp-sharded when a sample axis is present.
+        it_b = jnp.broadcast_to(it, q.shape)
+        return q, it_b, rn / jnp.where(bn == 0, 1.0, bn), x
 
-    def solve_fwd(self, w: jnp.ndarray):
-        """Solve for a batch of coefficient fields (batch, n_s) given in
-        the UNSHARDED flat cell order; returns (Q, iterations, relres).
-        The per-shard HBM footprint of all solver state is ~1/n_sp of the
-        unsharded solve's."""
-        from jax import shard_map
-
+    def _to_grid(self, v: jnp.ndarray, pad_value: float) -> jnp.ndarray:
+        """(batch, n_s) flat cell field -> padded (batch, nz, ny_pad, nx)."""
         nx, ny, nz = self.shape
-        batch = w.shape[:-1]
-        wg = w.reshape(batch + (nz, ny, nx))
+        batch = v.shape[:-1]
+        vg = v.reshape(batch + (nz, ny, nx))
         if self.pad:
-            wg = jnp.concatenate(
+            vg = jnp.concatenate(
                 [
-                    wg,
-                    jnp.ones(
-                        batch + (nz, self.pad, nx), dtype=wg.dtype
+                    vg,
+                    jnp.full(
+                        batch + (nz, self.pad, nx), pad_value, dtype=vg.dtype
                     ),
                 ],
                 axis=-2,
             )
+        return vg
 
-        if self._jit_solve is None:
+    def solve_fwd(
+        self,
+        w: jnp.ndarray,
+        p0: Optional[jnp.ndarray] = None,
+        return_pressure: bool = False,
+    ):
+        """Solve for a batch of coefficient fields (batch, n_s) given in
+        the UNSHARDED flat cell order; returns (Q, iterations, relres[, p])
+        with iterations broadcast to the batch and p the physical cell
+        pressure (flat, unsharded order) when requested. p0 optionally
+        warm-starts CG from a physical pressure on the SAME level (e.g.
+        the prolongated coarse pressure of an MLMC pair - the spatial
+        analog of DarcySolver.solve_fwd_warm). The per-shard HBM footprint
+        of all solver state is ~1/n_sp of the unsharded solve's; with
+        n_dp > 1 the batch additionally shards over the sample axis."""
+        from jax import shard_map
+
+        nx, ny, nz = self.shape
+        batch = w.shape[:-1]
+        wg = self._to_grid(w, 1.0)
+        if self.n_dp > 1 and (not batch or batch[0] % self.n_dp):
+            raise ValueError(
+                f"leading batch dim must be a multiple of n_dp={self.n_dp}"
+            )
+        x0g = None if p0 is None else self._to_grid(-p0, 0.0)  # p~ = -p
+
+        key = (len(batch), p0 is not None, return_pressure)
+        if key not in self._jit_solve:
             axis = self.axis
             spec_y = {
                 "bll": (P(None, axis, None),) * 3,
@@ -568,18 +636,46 @@ class SpatialDarcy:
             }
             g_spec = _Grids(**spec_y)
             nb = len(batch)
-            w_spec = P(*([None] * nb + [None, axis, None]))
-            out_spec = (P(*([None] * nb)), P(), P(*([None] * nb)))
+            bspec = [None] * nb
+            if self.n_dp > 1:
+                bspec[0] = self.sample_axis
+            w_spec = P(*(bspec + [None, axis, None]))
+            b_out = P(*bspec)
+            out_spec = (b_out, b_out, b_out)
+            if return_pressure:
+                out_spec = out_spec + (w_spec,)
 
-            def run(g, wloc):
-                return self._local_solve(g, wloc)
+            def run(g, wloc, x0loc):
+                q, it, rel, x = self._local_solve(g, wloc, x0loc)
+                if return_pressure:
+                    return q, it, rel, x
+                return q, it, rel
 
-            sharded = shard_map(
-                run,
-                mesh=self.mesh_dev,
-                in_specs=(g_spec, w_spec),
-                out_specs=out_spec,
-                check_vma=False,
-            )
-            self._jit_solve = jax.jit(sharded)
-        return self._jit_solve(self.grids, wg)
+            if p0 is None:
+                sharded_nox0 = shard_map(
+                    lambda g, wl: run(g, wl, None),
+                    mesh=self.mesh_dev,
+                    in_specs=(g_spec, w_spec),
+                    out_specs=out_spec,
+                    check_vma=False,
+                )
+
+                def wrapped(g, wl, x0_unused=None):
+                    return sharded_nox0(g, wl)
+
+                self._jit_solve[key] = jax.jit(wrapped)
+            else:
+                sharded = shard_map(
+                    run,
+                    mesh=self.mesh_dev,
+                    in_specs=(g_spec, w_spec, w_spec),
+                    out_specs=out_spec,
+                    check_vma=False,
+                )
+                self._jit_solve[key] = jax.jit(sharded)
+        out = self._jit_solve[key](self.grids, wg, x0g)
+        if not return_pressure:
+            return out
+        q, it, rel, xg = out
+        p = (-xg)[..., :, :ny, :].reshape(batch + (self.n_s,))
+        return q, it, rel, p

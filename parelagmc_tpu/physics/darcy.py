@@ -36,7 +36,7 @@ finest level and restricted through P^T exactly like the reference:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -458,6 +458,8 @@ class DarcySolver:
         self._parent_dev = [
             jnp.asarray(p, dtype=jnp.int32) for p in hierarchy.parent
         ]
+        # Lazily-built spatially-sharded solvers (config spatial_shards).
+        self._spatial_cache: Dict[int, object] = {}
 
     def level_blocks(self, level: int):
         """Per-(cell, axis) mass blocks (bll, blr, brr) of the level - the
@@ -662,9 +664,60 @@ class DarcySolver:
           per-sample BoomerAMG setup.
         """
         L = self.levels[level]
+        if self._use_spatial(level):
+            return self._solve_spatial(level, w, return_pressure)
         if self.solver_cfg.name == "minres-bj":
             return self._solve_minres(L, w, return_pressure)
         return self._solve_cg_schur(L, w, return_pressure)
+
+    # -- spatial domain decomposition (config spatial_shards) ------------------
+    def _use_spatial(self, level: int) -> bool:
+        """Route this level through the spatially-sharded solver? Finest
+        level only: that is where HBM binds (SPE10 level 0 caps near batch
+        8 on a 16G chip, CLAUDE.md); coarser levels are cheap replicated."""
+        return (
+            int(getattr(self.solver_cfg, "spatial_shards", 0) or 0) > 1
+            and level == 0
+            and self.solver_cfg.name != "minres-bj"
+        )
+
+    def _spatial(self, level: int):
+        """Lazily-built SpatialDarcy for this level: each realization's
+        solve state sharded into y-slabs over the 'sp' device-mesh axis,
+        optionally with the sample batch over a leading 'dp' axis
+        (parallel/spatial_darcy.py; the reference's MPI/ParMesh axis,
+        src/DarcySolver.cpp:651-675). The sharded path preconditions with
+        local-sqrt(w)-scaled diag(S_bar) Jacobi - expect more Krylov
+        iterations than the replicated coefMG path; it exists for the
+        levels that do not FIT replicated."""
+        if level not in self._spatial_cache:
+            from parelagmc_tpu.parallel.spatial_darcy import SpatialDarcy
+
+            cfg = self.solver_cfg
+            self._spatial_cache[level] = SpatialDarcy.from_darcy(
+                self,
+                level,
+                n_sp=int(cfg.spatial_shards),
+                n_dp=int(getattr(cfg, "spatial_sample_shards", 1) or 1),
+            )
+        return self._spatial_cache[level]
+
+    def _solve_spatial(
+        self, level: int, w: jnp.ndarray, return_pressure: bool, p0=None
+    ):
+        from parelagmc_tpu.ops.solvers import SolveInfo
+
+        sp = self._spatial(level)
+        out = sp.solve_fwd(w, p0=p0, return_pressure=return_pressure)
+        q, it, rel = out[:3]
+        # rel = |r|/|b| from the sharded CG; the loop exits at
+        # rel <= rtol, so the tiny multiplicative slack only absorbs the
+        # division's rounding.
+        info = SolveInfo(jnp.max(it), rel, rel <= sp.rtol * (1 + 1e-6))
+        cost = float(self.num_dofs(level))
+        if return_pressure:
+            return q, cost, info, out[3]
+        return q, cost, info
 
     def solve_fwd_pair(self, level: int, w_f: jnp.ndarray, w_c: jnp.ndarray):
         """Coupled (fine, coarse) pair solve for one MLMC correction sample:
@@ -694,6 +747,8 @@ class DarcySolver:
         # (exact piecewise-constant embedding); _solve_cg_schur converts to
         # its internal p~ = -p convention.
         p0 = jnp.take(p_coarse, self._parent_dev[level], axis=-1)
+        if self._use_spatial(level):
+            return self._solve_spatial(level, w, return_pressure, p0=p0)
         if self.solver_cfg.name == "minres-bj":
             return self.solve_fwd(level, w, return_pressure=return_pressure)
         return self._solve_cg_schur(
@@ -715,6 +770,8 @@ class DarcySolver:
         worker's execution-duration limit at SPE10 scale (CLAUDE.md).
         CG restarts at segment boundaries cost little: float32 runs
         restart the direction every restart_every iterations anyway."""
+        if self._use_spatial(level):
+            return self._solve_spatial(level, w, return_pressure, p0=p0)
         if self.solver_cfg.name == "minres-bj":
             return self.solve_fwd(level, w, return_pressure=return_pressure)
         return self._solve_cg_schur(

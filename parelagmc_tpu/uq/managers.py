@@ -68,6 +68,15 @@ class MLMCManager:
         self.sampler = sampler
         self.config = config
         self.sharding = sharding
+        if sharding is not None and int(
+            getattr(config.darcy_solver, "spatial_shards", 0) or 0
+        ) > 1:
+            raise ValueError(
+                "manager-level sample sharding (SampleMesh) cannot nest "
+                "around darcy_solver.spatial_shards; use "
+                "spatial_sample_shards for a composed (dp, sp) mesh and "
+                "pass sharding=None"
+            )
         self.nlevels = int(nlevels if nlevels is not None else config.nlevels)
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
         if sharding is not None:

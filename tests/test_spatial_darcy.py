@@ -111,3 +111,74 @@ def test_cut_axis_requires_essential_y():
 def _build_and_shard_bad():
     hier, solver = _build((4, 8, 4), ess=(1, 0, 1, 1, 1, 1))
     SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
+
+
+def test_warm_start_and_pressure_return():
+    """p0 = the exact solution must converge in 0 iterations and return the
+    unsharded solver's physical pressure; the warm path is what
+    DarcySolver.solve_fwd_warm routes MLMC pairs through."""
+    hier, solver = _build((6, 16, 5), kinv_contrast=50.0)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
+    q_ref, _, _, p_ref = solver.solve_fwd(0, w, return_pressure=True)
+    sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
+    q, it, rel, p = sp.solve_fwd(w, return_pressure=True)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-7)
+    q2, it2, _ = sp.solve_fwd(w, p0=p_ref)
+    assert int(np.max(np.asarray(it2))) == 0
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q_ref), rtol=1e-9)
+
+
+def test_sample_by_spatial_mesh():
+    """Composed (dp, sp) = (2, 4) device mesh: batch sharded over dp, each
+    realization's grid over sp - must match the unsharded solve. The CG
+    while_loop continue-flag is reduced over dp too (a per-row exit
+    deadlocks the SPMD collectives; spatial_darcy.any_active)."""
+    hier, solver = _build((6, 16, 5), kinv_contrast=50.0)
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(np.exp(rng.normal(size=(4, hier.levels[0].n_s)) * 0.5))
+    q_ref, _, _ = solver.solve_fwd(0, w)
+    sp = SpatialDarcy.from_darcy(solver, 0, n_sp=4, n_dp=2)
+    q, it, rel = sp.solve_fwd(w)
+    assert float(np.max(np.asarray(rel))) < 1e-8
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
+    with pytest.raises(ValueError, match="multiple of n_dp"):
+        sp.solve_fwd(w[:3])
+
+
+def test_mlmc_with_spatial_sharding():
+    """End-to-end MLMC through the config surface: darcy_solver
+    .spatial_shards routes the finest level's solves (cold, warm-started
+    pair, segmented restart) through SpatialDarcy; identical seed =>
+    identical noise stream, so the estimate must match the unsharded run
+    to solver tolerance."""
+    from parelagmc_tpu.fem import build_geometric_hierarchy
+    from parelagmc_tpu.mesh import make_box_mesh
+    from parelagmc_tpu.samplers import SPDESampler
+    from parelagmc_tpu.uq import MLMCManager
+    from parelagmc_tpu.utils.timing import TimeManager
+
+    def run(spatial):
+        TimeManager.reset()
+        mesh = make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0))
+        hier = build_geometric_hierarchy(mesh, 2)
+        cfg = ProblemConfig(
+            refinements=1, mse=1e10, batch_size=8, initial_samples=8,
+            seed=0, output_filename="",
+        )
+        cfg.darcy_solver.name = "cg-schur"
+        cfg.darcy_solver.relative_tolerance = 1e-9
+        cfg.darcy_solver.max_iterations = 2000
+        if spatial:
+            cfg.darcy_solver.spatial_shards = 4
+            cfg.darcy_solver.spatial_sample_shards = 2
+        sampler = SPDESampler(hier, cfg, jnp.float64)
+        solver = DarcySolver(hier, cfg, jnp.float64)
+        mgr = MLMCManager(solver, sampler, cfg)
+        mgr.init_run([8, 8])
+        return float(mgr.estimate), np.asarray(mgr.eY)
+
+    est_ref, ey_ref = run(False)
+    est_sp, ey_sp = run(True)
+    np.testing.assert_allclose(est_sp, est_ref, rtol=1e-6)
+    np.testing.assert_allclose(ey_sp, ey_ref, rtol=1e-5, atol=1e-9)
