@@ -198,6 +198,8 @@ class SpatialDarcy:
         ess: Optional[np.ndarray] = None,
         n_dp: int = 1,
         sample_axis: str = "dp",
+        precond: str = "jacobi",
+        mg_opts: Optional[dict] = None,
     ):
         if devices is None:
             devices = jax.devices()
@@ -237,6 +239,31 @@ class SpatialDarcy:
         self.pad = (-ny) % n_sp
         self.ny_pad = ny + self.pad
         self.m = self.ny_pad // n_sp
+        self.precond = precond
+        if precond == "coefmg":
+            # Slab-local per-sample Galerkin MG (restricted additive
+            # Schwarz): every shard runs the SAME static V-cycle ladder on
+            # its (nx, m, nz) slab; the cut faces keep their true
+            # halo-coupled mass diagonal, so each block is the exact
+            # diagonal-of-S slab block with Dirichlet-0 ghost data
+            # (nonsingular). Iteration counts stay near the replicated
+            # coefMG path where slab-Jacobi degrades with the grid
+            # (measured (32,64,16) synthetic-SPE10: 250 Jacobi vs 48
+            # replicated-MG iterations, and Jacobi's equal-residual QoI
+            # error blows up at scale - the rtol trap of CLAUDE.md).
+            from parelagmc_tpu.mesh.factories import make_box_mesh
+            from parelagmc_tpu.ops.coef_multigrid_structured import (
+                build_struct_coef_mg,
+            )
+
+            o = dict(mg_opts or {})
+            self.mg_cycles = max(1, int(o.pop("cycles", 1)))
+            self.mg_sweeps = max(1, int(o.pop("sweeps", 2)))
+            self.slab_mg = build_struct_coef_mg(
+                make_box_mesh((nx, self.m, nz)), **o
+            )
+        elif precond != "jacobi":
+            raise ValueError(f"unknown precond {precond!r}")
         self.n_u = mesh.num_faces
         self.n_s = mesh.num_cells
         self._face_offsets = tuple(int(x) for x in mesh.face_offsets)
@@ -347,6 +374,22 @@ class SpatialDarcy:
         blocks = solver.level_blocks(level)
         L = solver.levels[level]
         sdiag = solver.sbar_diag_np(level)
+        scfg = solver.solver_cfg
+        kw.setdefault(
+            "precond",
+            "coefmg" if scfg.name == "cg-schur-coefmg" else "jacobi",
+        )
+        kw.setdefault(
+            "mg_opts",
+            {
+                "cutoff": scfg.coarse_dense_cutoff,
+                "coarse_sweeps": max(1, scfg.mg_coarse_sweeps),
+                "cheby_order": getattr(scfg, "coefmg_cheby_order", 0),
+                "cheby_lo": getattr(scfg, "coefmg_cheby_lo", 0.25),
+                "cycles": max(1, getattr(scfg, "coefmg_cycles", 1)),
+                "sweeps": max(1, scfg.smoother_iterations),
+            },
+        )
         return cls(
             mesh,
             blocks,
@@ -450,6 +493,82 @@ class SpatialDarcy:
         )
         return zx, zy, zz
 
+    def _slab_mg_state(self, g: _Grids, w, w_dn, blo_y):
+        """Per-solve state of the slab-local coefMG: per-axis face-grid
+        inverse mass diagonals of THIS slab's cells flattened into the
+        slab mesh's face vector, then the standard struct_mg_setup ladder.
+        Cut faces keep their true halo-coupled diagonal (restricted-
+        Schwarz Dirichlet-ghost block, matching the true diag(S) row);
+        essential and padded faces get dinv = 0. Computed ONCE per solve,
+        before the CG while_loop (XLA does not hoist it out)."""
+        from parelagmc_tpu.ops.coef_multigrid_structured import struct_mg_setup
+
+        def line(bll, brr, ess, axis):
+            c_lo = w * bll
+            c_hi = w * brr
+            zl = jnp.zeros_like(
+                jax.lax.slice_in_dim(c_lo, 0, 1, axis=axis + c_lo.ndim)
+            )
+            diag = jnp.concatenate([c_lo, zl], axis=axis) + jnp.concatenate(
+                [zl, c_hi], axis=axis
+            )
+            return jnp.where(
+                ess | (diag <= 0),
+                0.0,
+                1.0 / jnp.where(diag <= 0, 1.0, diag),
+            )
+
+        dx = line(g.bll[0], g.brr[0], g.ess[0], -1)
+        dz = line(g.bll[2], g.brr[2], g.ess[2], -3)
+        # y faces: m + 1 planes. Plane j couples cell j-1 (halo w_dn/blo_y
+        # for j = 0) and cell j; the top plane m couples the local last
+        # cell and the up-shard's first cell (global closing plane on the
+        # last shard: essential).
+        w_lo = jnp.concatenate([w_dn, w[..., :-1, :]], axis=-2)
+        brr_lo = jnp.concatenate([blo_y, g.brr[1][..., :-1, :]], axis=-2)
+        diag_low = w_lo * brr_lo + w * g.bll[1]
+        w_up = self._halo_dn(w[..., :1, :])
+        bll_up = self._halo_dn(g.bll[1][..., :1, :])
+        diag_top = w[..., -1:, :] * g.brr[1][..., -1:, :] + w_up * bll_up
+        diag_y = jnp.concatenate([diag_low, diag_top], axis=-2)
+        essy = g.ess[1]
+        ess_up = self._halo_dn(essy[..., :1, :])
+        last = jax.lax.axis_index(self.axis) == self.n_sp - 1
+        ess_top = jnp.where(last, jnp.ones_like(ess_up), ess_up)
+        ess_y = jnp.concatenate([essy, ess_top], axis=-2)
+        dy = jnp.where(
+            ess_y | (diag_y <= 0),
+            0.0,
+            1.0 / jnp.where(diag_y <= 0, 1.0, diag_y),
+        )
+        batch = w.shape[:-3]
+        flat = jnp.concatenate(
+            [
+                dx.reshape(batch + (-1,)),
+                dy.reshape(batch + (-1,)),
+                dz.reshape(batch + (-1,)),
+            ],
+            axis=-1,
+        )
+        return struct_mg_setup(self.slab_mg, flat)
+
+    def _slab_mg_apply(self, state, r):
+        """Slab-local V-cycle(s) on the local cell-grid residual r."""
+        from parelagmc_tpu.ops.coef_multigrid_structured import (
+            struct_s_apply,
+            struct_v_cycle,
+        )
+
+        batch = r.shape[:-3]
+        rf = r.reshape(batch + (-1,))
+        cycle = lambda b: struct_v_cycle(
+            self.slab_mg, state, b, sweeps=self.mg_sweeps
+        )
+        z = cycle(rf)
+        for _ in range(self.mg_cycles - 1):
+            z = z + cycle(rf - struct_s_apply(self.slab_mg, state, z))
+        return z.reshape(r.shape)
+
     def _apply_b(self, g, u):
         """Cell values B u = sum of signed face differences; needs the
         above-shard's first y plane."""
@@ -508,10 +627,14 @@ class SpatialDarcy:
             )
 
         apply_S = lambda p: self._apply_b(g, minv(self._apply_bt(g, p)))
-        # Jacobi on diag(S_bar), scaled by the sample's local amplitude
-        # (sqrt(w) symmetric scaling, cf. darcy local_schur_scaling).
-        sw = jnp.sqrt(w)
-        prec = lambda r: sw * (r / g.sdiag) * sw
+        if self.precond == "coefmg":
+            mg_state = self._slab_mg_state(g, w, w_dn, blo_y)
+            prec = lambda r: self._slab_mg_apply(mg_state, r)
+        else:
+            # Jacobi on diag(S_bar), scaled by the sample's local amplitude
+            # (sqrt(w) symmetric scaling, cf. darcy local_schur_scaling).
+            sw = jnp.sqrt(w)
+            prec = lambda r: sw * (r / g.sdiag) * sw
 
         if x0t is None:
             x = jnp.zeros_like(rhs_s)

@@ -146,6 +146,37 @@ def test_sample_by_spatial_mesh():
         sp.solve_fwd(w[:3])
 
 
+def test_slab_coefmg_preconditioner():
+    """cg-schur-coefmg routes the sharded solve through the slab-local
+    per-sample Galerkin MG (restricted additive Schwarz). At high contrast
+    it must (a) match the unsharded solve at tight rtol and (b) converge
+    in a small multiple of the replicated coefMG's iterations - slab
+    Jacobi degrades with the grid (measured 250 vs 48 iterations at
+    (32,64,16) synthetic-SPE10 contrast) and its equal-residual QoI error
+    blows up at scale."""
+    ncells = (8, 16, 6)
+    fine = make_box_mesh(ncells, spacings=[1.0 / n for n in ncells])
+    hier = build_geometric_hierarchy_from_fine(fine, 1)
+    cfg = ProblemConfig(
+        mesh="box", ncells=ncells, lengths=(1.0, 1.0, 1.0), refinements=0,
+        dtype="float64",
+    )
+    cfg.darcy_solver.name = "cg-schur-coefmg"
+    cfg.darcy_solver.relative_tolerance = 1e-10
+    cfg.darcy_solver.max_iterations = 4000
+    rng = np.random.default_rng(7)
+    kinv = np.exp(rng.normal(size=(fine.num_cells, 3)) * 3.0)  # ~1e5 contrast
+    solver = DarcySolver(hier, cfg, jnp.float64, kinv_ref=kinv)
+    sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
+    assert sp.precond == "coefmg"
+    w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
+    q_ref, _, info = solver.solve_fwd(0, w)
+    q, it, rel = sp.solve_fwd(w)
+    assert float(np.max(np.asarray(rel))) < 1e-9
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
+    assert int(np.max(np.asarray(it))) < 4 * int(np.asarray(info.iterations))
+
+
 def test_mlmc_with_spatial_sharding():
     """End-to-end MLMC through the config surface: darcy_solver
     .spatial_shards routes the finest level's solves (cold, warm-started
