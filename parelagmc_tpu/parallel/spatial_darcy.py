@@ -32,6 +32,14 @@ Design (tensor-native, no translated SharingMaps):
   is 2D (dp, sp) - the batch shards over 'dp' while each realization's
   grid shards over 'sp' (the while_loop continue-flag is psum-reduced
   over dp so converged rows cannot exit the collective loop early).
+* With the cg-schur-coefmg solver the preconditioner is a two-level
+  Schwarz per-sample Galerkin MG: slab-local V-cycles (restricted
+  additive Schwarz blocks with true halo-coupled cut-face diagonals)
+  plus a replicated global coarse correction grafted at the deepest
+  pair-aligned slab level (one small all_gather per iteration). Measured
+  at synthetic-SPE10 contrast on (60,110,42)/8 shards: 49 iterations vs
+  45 replicated coefMG, where slab-Jacobi needs 221 and loses QoI
+  fidelity at equal residual tolerance.
 * Warm starts (p0 = prolongated coarse pressure of an MLMC pair) and
   physical-pressure return make the sharded solve a drop-in for the
   manager's cold/warm/segmented steps: DarcySolver routes its finest
@@ -259,9 +267,40 @@ class SpatialDarcy:
             o = dict(mg_opts or {})
             self.mg_cycles = max(1, int(o.pop("cycles", 1)))
             self.mg_sweeps = max(1, int(o.pop("sweeps", 2)))
+            two_level = bool(o.pop("two_level", True))
+            # The slab ladder's coarsening cutoff scales with 1/n_sp: the
+            # AGGREGATE coarsest size across shards then matches the
+            # replicated ladder's cutoff, and small slabs still coarsen
+            # (a 4096-cell slab under the replicated 5000 cutoff would
+            # get a single-level ladder = bare Jacobi sweeps).
+            o_slab = dict(o)
+            o_slab["cutoff"] = max(256, int(o.get("cutoff", 5000)) // n_sp)
             self.slab_mg = build_struct_coef_mg(
-                make_box_mesh((nx, self.m, nz)), **o
+                make_box_mesh((nx, self.m, nz)), **o_slab
             )
+            # Two-level Schwarz: a replicated global coarse correction on
+            # top of the slab blocks restores the cross-slab smooth modes
+            # the slab-local ladder cannot see. Handoff at the deepest
+            # slab level whose y-coarsening stays pair-aligned within
+            # every slab (all slab y sizes even down to it) - there the
+            # union of the slabs' coarse grids IS the full grid's coarse
+            # level, so the gathered slab dinv axes feed a global ladder
+            # that keeps coarsening without alignment constraints.
+            self.k_handoff = 0
+            lv = self.slab_mg.levels
+            for k in range(1, len(lv)):
+                if lv[k - 1].shape[1] % 2 or lv[k].shape[1] * 2 != lv[
+                    k - 1
+                ].shape[1]:
+                    break
+                self.k_handoff = k
+            self.global_mg = None
+            if two_level and self.k_handoff > 0:
+                kh = self.k_handoff
+                gx, gy, gz = lv[kh].shape
+                self.global_mg = build_struct_coef_mg(
+                    make_box_mesh((gx, n_sp * gy, gz)), **o
+                )
         elif precond != "jacobi":
             raise ValueError(f"unknown precond {precond!r}")
         self.n_u = mesh.num_faces
@@ -550,15 +589,50 @@ class SpatialDarcy:
             ],
             axis=-1,
         )
-        return struct_mg_setup(self.slab_mg, flat)
+        state = struct_mg_setup(self.slab_mg, flat)
+        if self.global_mg is None:
+            return state, None
+        # Global handoff-level dinv axes: the slabs' level-k grids tile the
+        # full grid's level-k grid exactly (pair-aligned y), and the
+        # duplicated cut planes carry identical values on both sides (both
+        # equal the true global face diagonal), so concatenation along y -
+        # dropping each slab's top y-face plane except the last - IS the
+        # global coarse dinv. One all_gather per solve.
+        gdx, gdy, gdz = state[self.k_handoff][0]
+        agx = jax.lax.all_gather(gdx, self.axis)
+        agy = jax.lax.all_gather(gdy, self.axis)
+        agz = jax.lax.all_gather(gdz, self.axis)
+        n = self.n_sp
+        gx = jnp.concatenate([agx[s] for s in range(n)], axis=-2)
+        gz = jnp.concatenate([agz[s] for s in range(n)], axis=-2)
+        gy = jnp.concatenate(
+            [agy[s][..., :-1, :] for s in range(n)] + [agy[n - 1][..., -1:, :]],
+            axis=-2,
+        )
+        gflat = jnp.concatenate(
+            [
+                gx.reshape(batch + (-1,)),
+                gy.reshape(batch + (-1,)),
+                gz.reshape(batch + (-1,)),
+            ],
+            axis=-1,
+        )
+        return state, struct_mg_setup(self.global_mg, gflat)
 
-    def _slab_mg_apply(self, state, r):
-        """Slab-local V-cycle(s) on the local cell-grid residual r."""
+    def _slab_mg_apply(self, states, r):
+        """Additive two-level Schwarz on the local cell-grid residual r:
+        slab-local V-cycle(s) + (when enabled) a replicated global coarse
+        V-cycle at the handoff level, restricted/prolonged through the
+        slab ladder's own pair-aligned group transfers."""
         from parelagmc_tpu.ops.coef_multigrid_structured import (
+            _prolong_cells,
+            _restrict_cells,
+            _v_cycle_grid,
             struct_s_apply,
             struct_v_cycle,
         )
 
+        state, gstate = states
         batch = r.shape[:-3]
         rf = r.reshape(batch + (-1,))
         cycle = lambda b: struct_v_cycle(
@@ -567,7 +641,23 @@ class SpatialDarcy:
         z = cycle(rf)
         for _ in range(self.mg_cycles - 1):
             z = z + cycle(rf - struct_s_apply(self.slab_mg, state, z))
-        return z.reshape(r.shape)
+        z = z.reshape(r.shape)
+        if gstate is None:
+            return z
+        rc = r
+        for lvl in range(1, self.k_handoff + 1):
+            rc = _restrict_cells(rc, self.slab_mg.levels[lvl], 3)
+        ag = jax.lax.all_gather(rc, self.axis)
+        rg = jnp.concatenate([ag[s] for s in range(self.n_sp)], axis=-2)
+        zg = _v_cycle_grid(self.global_mg, gstate, rg, self.mg_sweeps, 0)
+        m_k = self.slab_mg.levels[self.k_handoff].shape[1]
+        s_idx = jax.lax.axis_index(self.axis)
+        zc = jax.lax.dynamic_slice_in_dim(
+            zg, s_idx * m_k, m_k, axis=zg.ndim - 2
+        )
+        for lvl in range(self.k_handoff, 0, -1):
+            zc = _prolong_cells(zc, self.slab_mg.levels[lvl], 3)
+        return z + zc
 
     def _apply_b(self, g, u):
         """Cell values B u = sum of signed face differences; needs the

@@ -146,15 +146,19 @@ def test_sample_by_spatial_mesh():
         sp.solve_fwd(w[:3])
 
 
-def test_slab_coefmg_preconditioner():
+@pytest.mark.parametrize("ncells", [(8, 16, 6), (12, 64, 10)])
+def test_slab_coefmg_preconditioner(ncells):
     """cg-schur-coefmg routes the sharded solve through the slab-local
-    per-sample Galerkin MG (restricted additive Schwarz). At high contrast
-    it must (a) match the unsharded solve at tight rtol and (b) converge
-    in a small multiple of the replicated coefMG's iterations - slab
-    Jacobi degrades with the grid (measured 250 vs 48 iterations at
-    (32,64,16) synthetic-SPE10 contrast) and its equal-residual QoI error
-    blows up at scale."""
-    ncells = (8, 16, 6)
+    per-sample Galerkin MG (restricted additive Schwarz) plus, when the
+    slab ladder has a pair-aligned level, a replicated global coarse
+    correction (two-level Schwarz). At high contrast it must (a) match
+    the unsharded solve at tight rtol and (b) converge in a small
+    multiple of the replicated coefMG's iterations - slab Jacobi degrades
+    with the grid (measured 250 vs 48 iterations at (32,64,16)
+    synthetic-SPE10 contrast; two-level lands at 49-51 vs 45-48) and its
+    equal-residual QoI error blows up at scale. (8,16,6): m = 2,
+    single-level slab ladder, no global graft; (12,64,10): m = 8,
+    handoff level 1 with the global ladder engaged."""
     fine = make_box_mesh(ncells, spacings=[1.0 / n for n in ncells])
     hier = build_geometric_hierarchy_from_fine(fine, 1)
     cfg = ProblemConfig(
@@ -169,6 +173,7 @@ def test_slab_coefmg_preconditioner():
     solver = DarcySolver(hier, cfg, jnp.float64, kinv_ref=kinv)
     sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
     assert sp.precond == "coefmg"
+    assert (sp.global_mg is not None) == (ncells == (12, 64, 10))
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
     q_ref, _, info = solver.solve_fwd(0, w)
     q, it, rel = sp.solve_fwd(w)
