@@ -48,7 +48,11 @@ Design (tensor-native, no translated SharingMaps):
   (tests/test_spatial_darcy.py::test_mlmc_with_spatial_sharding).
 
 Validated against the unsharded DarcySolver on the virtual 8-device CPU
-mesh at SPE10-shaped sizes (tests/test_spatial_darcy.py).
+mesh at SPE10-shaped sizes (tests/test_spatial_darcy.py). Measured
+footprint (XLA compiled memory_analysis, (60,110,42) grid, coefmg,
+batch 8, f32): per-device temp 530.5 MB unsharded -> 103.0 MB on 8
+shards (5.2x; the remainder is the replicated global coarse correction
+plus halo padding).
 """
 
 from __future__ import annotations
