@@ -20,11 +20,11 @@ Design (tensor-native, no translated SharingMaps):
   exchange.
 * The exact batched M(w)^{-1} survives sharding: lines orthogonal to the
   cut axis stay shard-local (plain Thomas); lines ALONG the cut axis are
-  solved exactly by a SPIKE reduction - local Thomas on the decoupled
-  chunk plus two spike solves, an `all_gather` of six scalars per line,
-  and a redundant dense solve of the 2*n_sp interface system per line
-  (16x16 for 8 shards). Two local solves + one small collective per
-  application, instead of a sequential scan across devices.
+  solved exactly by a SPIKE reduction - factored once per Krylov solve
+  (local spike solves, an `all_gather` of four tip scalars per line, LU
+  of the 2*n_sp interface system - 16x16 for 8 shards), then applied per
+  iteration with one local Thomas plus an `all_gather` of TWO scalars
+  per line, instead of a sequential scan across devices.
 * The pressure Schur CG runs entirely inside one `shard_map` program:
   dot products are `psum` (the MPI_Allreduce analog), the solution,
   residuals and Krylov directions never materialize unsharded.
@@ -212,6 +212,7 @@ class SpatialDarcy:
         sample_axis: str = "dp",
         precond: str = "jacobi",
         mg_opts: Optional[dict] = None,
+        restart_every: int = 50,
     ):
         if devices is None:
             devices = jax.devices()
@@ -219,6 +220,12 @@ class SpatialDarcy:
             n_sp = len(devices) // max(1, n_dp)
         self.n_dp = int(n_dp)
         self.sample_axis = sample_axis
+        self.restart_every = int(restart_every)
+        if n_dp * n_sp > len(devices):
+            raise ValueError(
+                f"spatial mesh needs n_dp * n_sp = {n_dp} * {n_sp} = "
+                f"{n_dp * n_sp} devices, only {len(devices)} available"
+            )
         if self.n_dp > 1:
             # Composed sample x spatial parallelism: the device mesh is
             # (dp, sp); the sample batch shards over dp while each
@@ -444,6 +451,9 @@ class SpatialDarcy:
             max_iters=solver.solver_cfg.max_iterations,
             rtol=solver.solver_cfg.relative_tolerance,
             ess=np.asarray(L.ess),
+            restart_every=int(
+                getattr(scfg, "restart_every", 50) or 0
+            ),
             **kw,
         )
 
@@ -759,6 +769,8 @@ class SpatialDarcy:
             it, x, r, p, rz, rn, go = st
             return (it < self.max_iters) & go
 
+        re_ = self.restart_every
+
         def body(st):
             it, x, r, p, rz, rn, go = st
             Ap = apply_S(p)
@@ -769,9 +781,22 @@ class SpatialDarcy:
             ax = alpha[..., None, None, None]
             x = x + ax * p
             r = r - ax * Ap
+            # True-residual restart (mirrors ops.solvers.pcg's
+            # restart_every): the recurrence residual drifts below the
+            # TRUE residual in f32 - at SPE10 contrast the recurrence can
+            # pass rtol while the real residual is stuck near 5e-4 and
+            # the flux QoI still carries the loose-rtol error (CLAUDE.md
+            # root-cause). `it` is mesh-uniform, so the lax.cond predicate
+            # is SPMD-uniform and the collectives inside apply_S are safe;
+            # the S application only runs on restart iterations.
+            restart = jnp.asarray(re_ > 0) & ((it + 1) % max(re_, 1) == 0)
+            r = jax.lax.cond(
+                restart, lambda _: rhs_s - apply_S(x), lambda _: r, None
+            )
             z = prec(r)
             rz_new = vdot(r, z)
             beta = jnp.where(rz > 0, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+            beta = jnp.where(restart, 0.0, beta)  # steepest-descent restart
             p = z + jnp.where(active, beta, 0.0)[..., None, None, None] * p
             rn_new = jnp.sqrt(vdot(r, r))
             return it + 1, x, r, p, rz_new, rn_new, any_active(rn_new)

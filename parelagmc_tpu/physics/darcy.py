@@ -686,10 +686,13 @@ class DarcySolver:
         solve state sharded into y-slabs over the 'sp' device-mesh axis,
         optionally with the sample batch over a leading 'dp' axis
         (parallel/spatial_darcy.py; the reference's MPI/ParMesh axis,
-        src/DarcySolver.cpp:651-675). The sharded path preconditions with
-        local-sqrt(w)-scaled diag(S_bar) Jacobi - expect more Krylov
-        iterations than the replicated coefMG path; it exists for the
-        levels that do not FIT replicated."""
+        src/DarcySolver.cpp:651-675). Preconditioning follows the solver
+        name: cg-schur-coefmg gets the two-level Schwarz slab coefMG
+        (iterations near the replicated coefMG path - 49 vs 45 measured
+        at synthetic-SPE10 contrast on (60,110,42)/8 shards); other
+        cg-schur variants get local-sqrt(w)-scaled diag(S_bar) Jacobi,
+        adequate only at modest contrast. Exists for the levels that do
+        not FIT replicated."""
         if level not in self._spatial_cache:
             from parelagmc_tpu.parallel.spatial_darcy import SpatialDarcy
 

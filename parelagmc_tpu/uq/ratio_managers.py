@@ -56,6 +56,17 @@ class BayesRatioManager:
         self.config = config
         self.splitting = bool(splitting)
         self.sharding = sharding
+        if sharding is not None and int(
+            getattr(config.darcy_solver, "spatial_shards", 0) or 0
+        ) > 1:
+            # Same invalid nesting MLMCManager rejects: the dp shard_map
+            # cannot wrap SpatialDarcy's own device mesh.
+            raise ValueError(
+                "manager-level sample sharding (SampleMesh) cannot nest "
+                "around darcy_solver.spatial_shards; use "
+                "spatial_sample_shards for a composed (dp, sp) mesh and "
+                "pass sharding=None"
+            )
         self.nlevels = int(nlevels if nlevels is not None else problem.nlevels)
         self.batch = int(batch_size if batch_size is not None else config.batch_size)
         if sharding is not None:
