@@ -37,9 +37,12 @@ Design (tensor-native, no translated SharingMaps):
   additive Schwarz blocks with true halo-coupled cut-face diagonals)
   plus a replicated global coarse correction grafted at the deepest
   pair-aligned slab level (one small all_gather per iteration). Measured
-  at synthetic-SPE10 contrast on (60,110,42)/8 shards: 49 iterations vs
-  45 replicated coefMG, where slab-Jacobi needs 221 and loses QoI
-  fidelity at equal residual tolerance.
+  at synthetic-SPE10 contrast on (60,110,42)/8 shards
+  (SPATIAL_EVIDENCE.json, examples/spatial_scaling.py): 50 iterations vs
+  45 replicated coefMG at rtol 1e-5 with the SAME deep-truth QoI error
+  (2.6e-2 vs 3.0e-2 - both are loose-rtol Krylov error; rtol 1e-7 costs
+  90 iterations and lands at 4.4e-4), where slab-Jacobi needs 277
+  iterations and 77% QoI error at the same residual.
 * Warm starts (p0 = prolongated coarse pressure of an MLMC pair) and
   physical-pressure return make the sharded solve a drop-in for the
   manager's cold/warm/segmented steps: DarcySolver routes its finest

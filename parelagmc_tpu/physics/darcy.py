@@ -688,8 +688,9 @@ class DarcySolver:
         (parallel/spatial_darcy.py; the reference's MPI/ParMesh axis,
         src/DarcySolver.cpp:651-675). Preconditioning follows the solver
         name: cg-schur-coefmg gets the two-level Schwarz slab coefMG
-        (iterations near the replicated coefMG path - 49 vs 45 measured
-        at synthetic-SPE10 contrast on (60,110,42)/8 shards); other
+        (iterations near the replicated coefMG path - 50 vs 45 measured
+        at synthetic-SPE10 contrast on (60,110,42)/8 shards, same
+        deep-truth QoI error; SPATIAL_EVIDENCE.json); other
         cg-schur variants get local-sqrt(w)-scaled diag(S_bar) Jacobi,
         adequate only at modest contrast. Exists for the levels that do
         not FIT replicated."""
