@@ -138,6 +138,15 @@ class SolverConfig:
     # scale) regardless, so spending more cheap gather-stencil MG work per
     # iteration to cut the iteration count is a net win at scale.
     coefmg_cycles: int = 1
+    # Preconditioner-state dtype for cg-schur-coefmg: "" keeps the solve
+    # dtype; "bfloat16" casts the per-sample V-cycle tables AND its
+    # residual math to bf16 (CG itself stays in the solve dtype). The
+    # V-cycle is HBM-bandwidth-bound on TPU, so halving its bytes buys
+    # throughput at the cost of a slightly weaker preconditioner -
+    # measure iterations before adopting (a preconditioner only needs
+    # ~1e-2 relative quality; bf16's 8 exponent bits cover any
+    # permeability contrast).
+    coefmg_prec_dtype: str = ""
     # Spatial domain decomposition of the FINEST level's Darcy solve
     # (parallel/spatial_darcy.py): > 1 shards each realization's solve
     # state into spatial_shards y-slabs over the device mesh (the

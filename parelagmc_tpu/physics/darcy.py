@@ -817,11 +817,27 @@ class DarcySolver:
 
             diag_w = L.m_diag(w)
             dinv0 = jnp.where(diag_w > 0, 1.0 / jnp.where(diag_w == 0, 1.0, diag_w), 0.0)
+            # Optional reduced-precision preconditioner state: the V-cycle
+            # is HBM-bandwidth-bound, so bf16 tables + bf16 residual math
+            # halve its bytes; the CG iteration itself stays in the solve
+            # dtype (config.coefmg_prec_dtype).
+            pdt = getattr(self.solver_cfg, "coefmg_prec_dtype", "")
+            pdt = jnp.dtype(pdt) if pdt else None
+
+            def _cast_prec(fn):
+                if pdt is None:
+                    return fn
+                return lambda r: fn(r.astype(pdt)).astype(r.dtype)
+
             if isinstance(L.coef_mg, StructCoefMG):
                 # Precomputed (dinv_axes, idiag) per level: the Jacobi
                 # diagonals are loop invariants too (see struct_mg_setup).
                 dinvs = struct_mg_setup(L.coef_mg, dinv0)
-                cycle = lambda r: struct_v_cycle(L.coef_mg, dinvs, r)
+                if pdt is not None:
+                    dinvs = jax.tree.map(lambda a: a.astype(pdt), dinvs)
+                cycle = _cast_prec(
+                    lambda r: struct_v_cycle(L.coef_mg, dinvs, r)
+                )
                 s_fine = lambda z: struct_s_apply(L.coef_mg, dinvs, z)
             else:
                 from parelagmc_tpu.ops.coef_multigrid import (
@@ -833,8 +849,13 @@ class DarcySolver:
 
                 dinvs = coef_mg_dinvs(L.coef_mg, dinv0)
                 idiags = coef_mg_idiags(L.coef_mg, dinvs)
-                cycle = lambda r: coef_v_cycle(
-                    L.coef_mg, dinvs, r, idiags=idiags
+                if pdt is not None:
+                    dinvs = [d.astype(pdt) for d in dinvs]
+                    idiags = [d.astype(pdt) for d in idiags]
+                cycle = _cast_prec(
+                    lambda r: coef_v_cycle(
+                        L.coef_mg, dinvs, r, idiags=idiags
+                    )
                 )
                 s_fine = lambda z: _s_apply(
                     L.coef_mg.levels[0], dinvs[0], z

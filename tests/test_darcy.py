@@ -189,6 +189,42 @@ def test_coefmg_solver_matches_exact_schur():
     )
 
 
+def test_coefmg_bf16_prec_state_matches():
+    """coefmg_prec_dtype="bfloat16" (reduced-precision V-cycle tables and
+    residual math; the CG stays in the solve dtype) must converge to the
+    same QoI with essentially the same iteration count - a preconditioner
+    only needs ~1e-2 relative quality. Measured at synthetic-SPE10
+    contrast (32,64,16), f32 solve: 48/74 iterations at rtol 1e-5/1e-6
+    for BOTH f32 and bf16 states; on TPU the V-cycle is HBM-bound so the
+    bf16 state halves its bytes."""
+    import jax
+
+    from parelagmc_tpu.samplers import SPDESampler
+
+    hier = build_geometric_hierarchy(
+        make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0)), 2
+    )
+    results = {}
+    for pd in ("", "bfloat16"):
+        cfg = ProblemConfig(refinements=1, batch_size=4)
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.relative_tolerance = 1e-8
+        cfg.darcy_solver.max_iterations = 500
+        cfg.darcy_solver.coarse_dense_cutoff = 30
+        cfg.darcy_solver.coefmg_prec_dtype = pd
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        xi = sampler.sample(0, jax.random.PRNGKey(2), 4)
+        s = sampler.eval(0, xi)
+        q, _, info = solver.solve_fwd(0, s)
+        assert bool(np.asarray(info.converged).all()), pd
+        results[pd] = (np.asarray(q), int(info.iterations))
+    np.testing.assert_allclose(
+        results["bfloat16"][0], results[""][0], rtol=1e-6
+    )
+    assert results["bfloat16"][1] <= int(results[""][1] * 1.3) + 2
+
+
 def test_cg_schur_coefmg_structured_matches_gather():
     """solve_fwd with the structured (slicing) coefMG preconditioner
     produces the same QoI as with the generic gather tables - same
