@@ -182,6 +182,44 @@ def test_slab_coefmg_preconditioner(ncells):
     assert int(np.max(np.asarray(it))) < 4 * int(np.asarray(info.iterations))
 
 
+def test_spatial_with_auto_axis_order():
+    """darcy_solver.spatial_shards composes with the axis_order="auto"
+    device layout (the production SPE10 configuration): build_problem
+    relabels the grid axes (largest-dim-minor) and permutes ess_attr, and
+    the spatial solver cuts the RELABELED y axis - results must match the
+    replicated solve on the same relabeled problem."""
+    from parelagmc_tpu.mesh.factories import SPE10_NCELLS, SPE10_SPACING
+    from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+    from parelagmc_tpu.problems import build_problem
+
+    grid = (16, 32, 8)
+    lengths = tuple(n * h for n, h in zip(SPE10_NCELLS, SPE10_SPACING))
+
+    def make(spatial):
+        cfg = ProblemConfig(
+            mesh="box", ncells=grid, lengths=lengths, refinements=0,
+            dtype="float64", axis_order="auto", correlation_length=100.0,
+        )
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.relative_tolerance = 1e-8
+        cfg.darcy_solver.max_iterations = 8000
+        if spatial:
+            cfg.darcy_solver.spatial_shards = N_SP
+        return build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=grid))
+
+    pr = make(False)
+    assert pr.solver.hierarchy.levels[0].mesh.shape == (32, 16, 8)  # relabeled
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(
+        np.exp(rng.normal(size=(2, pr.solver.levels[0].n_s)) * 0.3)
+    )
+    q_ref = np.asarray(pr.solver.solve_fwd(0, w)[0])
+    ps = make(True)
+    q, _, info = ps.solver.solve_fwd(0, w)
+    assert bool(np.asarray(info.converged).all())
+    np.testing.assert_allclose(np.asarray(q), q_ref, rtol=1e-5)
+
+
 def test_mlmc_with_spatial_sharding():
     """End-to-end MLMC through the config surface: darcy_solver
     .spatial_shards routes the finest level's solves (cold, warm-started
