@@ -281,6 +281,7 @@ class SpatialDarcy:
             o = dict(mg_opts or {})
             self.mg_cycles = max(1, int(o.pop("cycles", 1)))
             self.mg_sweeps = max(1, int(o.pop("sweeps", 2)))
+            self.mg_prec_dtype = o.pop("prec_dtype", "") or None
             two_level = bool(o.pop("two_level", True))
             # The slab ladder's coarsening cutoff scales with 1/n_sp: the
             # AGGREGATE coarsest size across shards then matches the
@@ -441,6 +442,7 @@ class SpatialDarcy:
                 "cheby_lo": getattr(scfg, "coefmg_cheby_lo", 0.25),
                 "cycles": max(1, getattr(scfg, "coefmg_cycles", 1)),
                 "sweeps": max(1, scfg.smoother_iterations),
+                "prec_dtype": getattr(scfg, "coefmg_prec_dtype", ""),
             },
         )
         return cls(
@@ -606,7 +608,16 @@ class SpatialDarcy:
             ],
             axis=-1,
         )
-        state = struct_mg_setup(self.slab_mg, flat)
+        def cast(st):
+            # Reduced-precision preconditioner state (coefmg_prec_dtype):
+            # bf16 tables halve the V-cycle's HBM bytes; CG stays in the
+            # solve dtype (oracle: tests/test_darcy.py bf16 test).
+            if self.mg_prec_dtype is None:
+                return st
+            pdt = jnp.dtype(self.mg_prec_dtype)
+            return jax.tree.map(lambda a: a.astype(pdt), st)
+
+        state = cast(struct_mg_setup(self.slab_mg, flat))
         if self.global_mg is None:
             return state, None
         # Global handoff-level dinv axes: the slabs' level-k grids tile the
@@ -634,7 +645,7 @@ class SpatialDarcy:
             ],
             axis=-1,
         )
-        return state, struct_mg_setup(self.global_mg, gflat)
+        return state, cast(struct_mg_setup(self.global_mg, gflat))
 
     def _slab_mg_apply(self, states, r):
         """Additive two-level Schwarz on the local cell-grid residual r:
@@ -650,6 +661,9 @@ class SpatialDarcy:
         )
 
         state, gstate = states
+        rdt = r.dtype
+        if self.mg_prec_dtype is not None:
+            r = r.astype(jnp.dtype(self.mg_prec_dtype))
         batch = r.shape[:-3]
         rf = r.reshape(batch + (-1,))
         cycle = lambda b: struct_v_cycle(
@@ -660,7 +674,7 @@ class SpatialDarcy:
             z = z + cycle(rf - struct_s_apply(self.slab_mg, state, z))
         z = z.reshape(r.shape)
         if gstate is None:
-            return z
+            return z.astype(rdt)
         rc = r
         for lvl in range(1, self.k_handoff + 1):
             rc = _restrict_cells(rc, self.slab_mg.levels[lvl], 3)
@@ -674,7 +688,7 @@ class SpatialDarcy:
         )
         for lvl in range(self.k_handoff, 0, -1):
             zc = _prolong_cells(zc, self.slab_mg.levels[lvl], 3)
-        return z + zc
+        return (z + zc).astype(rdt)
 
     def _apply_b(self, g, u):
         """Cell values B u = sum of signed face differences; needs the

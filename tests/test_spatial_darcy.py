@@ -180,6 +180,17 @@ def test_slab_coefmg_preconditioner(ncells):
     assert float(np.max(np.asarray(rel))) < 1e-9
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
     assert int(np.max(np.asarray(it))) < 4 * int(np.asarray(info.iterations))
+    if ncells == (8, 16, 6):
+        # Reduced-precision slab-MG state (coefmg_prec_dtype): same QoI,
+        # essentially the same iterations (+4% measured at (12,64,10)).
+        cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
+        sp16 = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
+        assert sp16.mg_prec_dtype == "bfloat16"
+        q16, it16, _ = sp16.solve_fwd(w)
+        np.testing.assert_allclose(np.asarray(q16), np.asarray(q_ref), rtol=1e-6)
+        assert int(np.max(np.asarray(it16))) <= int(
+            np.max(np.asarray(it)) * 1.3 + 2
+        )
 
 
 def test_spatial_with_auto_axis_order():
