@@ -6,6 +6,11 @@ the restart lax.cond, convergence bookkeeping, and the per-solve setup.
 
 Usage (real TPU, from /root/repo):
     python examples/spe10_iter_cost.py [--batch 16] [--lo 10] [--hi 30]
+                                       [--prec-dtype bfloat16]
+
+--prec-dtype sets config.coefmg_prec_dtype (reduced-precision V-cycle
+state; CPU-verified zero iteration penalty - this harness measures the
+ms/iteration side on chip).
 """
 
 import sys
@@ -37,6 +42,8 @@ def main():
     )
     cfg.darcy_solver.name = "cg-schur-coefmg"
     cfg.darcy_solver.relative_tolerance = 0.0  # force the full budget
+    if "--prec-dtype" in argv:
+        cfg.darcy_solver.coefmg_prec_dtype = argv[argv.index("--prec-dtype") + 1]
     prob = build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=(60, 220, 85)))
     solver = prob.solver
     L = solver.levels[0]

@@ -26,6 +26,12 @@ stays the primary axis. This module supplies the TPU-native equivalent:
 
 Validated against the unsharded solve on the virtual 8-device CPU mesh
 (tests/test_spatial.py) - the TPU analog of oversubscribed mpirun.
+
+This generic-CSR form is the prototype / oracle; the PRODUCTION spatial
+axis is parallel/spatial_darcy.SpatialDarcy (tensor-grid Darcy Schur CG
+with exact SPIKE line solves and the two-level Schwarz coefMG), reachable
+from config.darcy_solver.spatial_shards and measured in
+SPATIAL_EVIDENCE.json.
 """
 
 from __future__ import annotations
