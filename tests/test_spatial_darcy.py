@@ -146,7 +146,7 @@ def test_sample_by_spatial_mesh():
         sp.solve_fwd(w[:3])
 
 
-@pytest.mark.parametrize("ncells", [(8, 16, 6), (12, 64, 10)])
+@pytest.mark.parametrize("ncells", [(8, 16, 6), (12, 64, 10), (12, 60, 10)])
 def test_slab_coefmg_preconditioner(ncells):
     """cg-schur-coefmg routes the sharded solve through the slab-local
     per-sample Galerkin MG (restricted additive Schwarz) plus, when the
@@ -158,7 +158,10 @@ def test_slab_coefmg_preconditioner(ncells):
     synthetic-SPE10 contrast; two-level lands at 49-51 vs 45-48) and its
     equal-residual QoI error blows up at scale. (8,16,6): m = 2,
     single-level slab ladder, no global graft; (12,64,10): m = 8,
-    handoff level 1 with the global ladder engaged."""
+    handoff level 1 with the global ladder engaged; (12,60,10): ny = 60
+    pads to 64 (pad 4) - padded decoupled cells flowing through the slab
+    ladder AND the gathered global coarse ladder (zero-dinv faces,
+    guarded Jacobi diagonals)."""
     fine = make_box_mesh(ncells, spacings=[1.0 / n for n in ncells])
     hier = build_geometric_hierarchy_from_fine(fine, 1)
     cfg = ProblemConfig(
@@ -173,7 +176,7 @@ def test_slab_coefmg_preconditioner(ncells):
     solver = DarcySolver(hier, cfg, jnp.float64, kinv_ref=kinv)
     sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
     assert sp.precond == "coefmg"
-    assert (sp.global_mg is not None) == (ncells == (12, 64, 10))
+    assert (sp.global_mg is not None) == (ncells != (8, 16, 6))
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
     q_ref, _, info = solver.solve_fwd(0, w)
     q, it, rel = sp.solve_fwd(w)
