@@ -191,3 +191,35 @@ def test_ratio_checkpoint_kind_mismatch(tmp_path):
     with pytest.raises(ValueError, match="splitting"):
         m2.load_state(ckpt)
     m.close()
+
+
+def test_ratio_with_spatial_sharding(tmp_path):
+    """Spatial DD through the ratio-estimator surface: (a) SampleMesh +
+    spatial_shards nesting is rejected with the same friendly error as
+    MLMCManager (review r3), (b) an SL ratio run with the finest-level
+    solves routed through SpatialDarcy reproduces the unsharded estimate
+    for the identical seed/noise stream."""
+    from parelagmc_tpu.parallel import SampleMesh
+
+    TimeManager.reset()
+    _, prob_bad, cfg_bad = build_problem(tmp_path, nlevels=1, mse=1e10)
+    cfg_bad.darcy_solver.spatial_shards = 4
+    with pytest.raises(ValueError, match="spatial_shards"):
+        BayesRatioManager(prob_bad, cfg_bad, nlevels=1,
+                          sharding=SampleMesh(jax.devices()[:2]))
+
+    def run(spatial):
+        TimeManager.reset()
+        _, prob, cfg = build_problem(tmp_path, nlevels=1, mse=1e10, seed=3)
+        cfg.darcy_solver.relative_tolerance = 1e-9
+        cfg.darcy_solver.max_iterations = 2000
+        if spatial:
+            cfg.darcy_solver.spatial_shards = 4
+        prob.set_observational_data([0.55])
+        mgr = BayesRatioManager(prob, cfg, nlevels=1)
+        mgr.init_run([16])
+        return float(mgr.estimate)
+
+    est_ref = run(False)
+    est_sp = run(True)
+    np.testing.assert_allclose(est_sp, est_ref, rtol=1e-6)
