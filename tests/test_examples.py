@@ -196,3 +196,59 @@ def test_mlmc_driver_on_mesh_files(capsys, tmp_path, monkeypatch):
         assert "FINAL MLMC ERRORS" in out
         # Fixed-seed f64 anchors (round-2 VERDICT item 10).
         np.testing.assert_allclose(est, golden[mesh.split("/")[-1]], atol=0.02)
+
+
+def test_ratio_estimator_mc_driver(capsys, tmp_path, monkeypatch):
+    """SL ratio driver (reference RatioEstimator_MC[_Manager].cpp): runs
+    both estimator forms on the small config and prints the dashboard."""
+    monkeypatch.chdir(tmp_path)
+    from examples import ratio_estimator_mc
+
+    est = ratio_estimator_mc.main(
+        SMALL + ["--dtype", "float64", "--seed", "0"]
+    )
+    out = capsys.readouterr().out
+    assert "FINAL SL_BayesRatio_Manager ERRORS" in out
+    assert 1.0 < est < 5.0
+    est_s = ratio_estimator_mc.main(
+        SMALL + ["--dtype", "float64", "--seed", "0", "--splitting"]
+    )
+    assert abs(est_s - est) < 1.0  # same posterior, different estimator
+
+
+def test_compute_reference_obs_data_driver(capsys, tmp_path, monkeypatch):
+    """Obs-data generator (reference ComputeReferenceObservationalData.cpp)
+    writes the file a Bayesian run can consume."""
+    monkeypatch.chdir(tmp_path)
+    from examples import compute_reference_obs_data
+
+    compute_reference_obs_data.main(
+        ["--refinements", "1", "--dtype", "float64", "--seed", "0"]
+    )
+    out = capsys.readouterr().out
+    assert "reference observational data" in out
+    fname = out.split("-> ")[1].split(":")[0]
+    data = np.loadtxt(tmp_path / fname)
+    assert np.isfinite(data).all()
+
+
+def test_spatial_scaling_driver(tmp_path, monkeypatch, capsys):
+    """Spatial-DD evidence tool on a tiny grid: produces the JSON with
+    all configs converged and sane deep-truth errors."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    from examples import spatial_scaling
+
+    spatial_scaling.main(
+        ["--grid", "8,16,6", "--batch", "2", "--out", "ev.json"]
+    )
+    res = json.load(open(tmp_path / "ev.json"))
+    runs = res["runs"]
+    assert set(runs) >= {
+        "replicated-coefmg", "sharded-jacobi", "sharded-coefmg-2level",
+        "sharded-coefmg-2level-tight", "sharded-dpxsp-coefmg",
+    }
+    for tag, r in runs.items():
+        assert r["qoi_rel_err_vs_deep"] < 0.5, (tag, r)
+    assert runs["sharded-coefmg-2level-tight"]["qoi_rel_err_vs_deep"] < 5e-3
