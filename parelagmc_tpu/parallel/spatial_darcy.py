@@ -381,6 +381,13 @@ class SpatialDarcy:
 
         (rux, ruy, ruz), rp = split_rhs(rhs)
         (oux, ouy, ouz), op_ = split_rhs(obs)
+        # Essential-face rhs entries must be zero (DarcySolver zeroes them
+        # at setup; direct construction with a raw assembled rhs would
+        # otherwise leak the boundary values through the identity rows of
+        # the tridiagonal solves - review r3).
+        rux[np.asarray(ess_x)] = 0.0
+        ruy[np.asarray(ess_y)] = 0.0
+        ruz[np.asarray(ess_z)] = 0.0
         sd = cell_grid(sbar_diag)
         sd[pad_cell] = 1.0
 
@@ -514,8 +521,17 @@ class SpatialDarcy:
         ess_prev = jnp.concatenate([essy[..., :1] * False, essy[..., :-1]], axis=-1)
         s_idx = jax.lax.axis_index(self.axis)
         first_global = (s_idx == 0)
+        # Row 0's previous row lives on the BELOW shard: halo its last
+        # plane's essential flag so dl[0] is zeroed when that row is an
+        # identity row (matches build_line_tables' masking; shard 0 treats
+        # the nonexistent plane below the domain as essential - its
+        # cross-shard coupling is zero anyway). Review r3: the flag was
+        # hardcoded False for s > 0.
+        ess_dn = my(
+            self._halo_up(g.ess[1][..., -1:, :].astype(jnp.int8))
+        )[..., 0] > 0
         ess_prev = ess_prev.at[..., 0].set(
-            jnp.where(first_global, True, essy[..., 0] * False)
+            jnp.where(first_global, True, ess_dn)
         )
         # ess of the plane above row j is essy[j+1] (local) or, for the
         # last row, the first plane of the shard above (or the closing

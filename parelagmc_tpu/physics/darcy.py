@@ -459,7 +459,26 @@ class DarcySolver:
             jnp.asarray(p, dtype=jnp.int32) for p in hierarchy.parent
         ]
         # Lazily-built spatially-sharded solvers (config spatial_shards).
-        self._spatial_cache: Dict[int, object] = {}
+        self._spatial_cache: Dict[tuple, object] = {}
+        n_spatial = int(getattr(self.solver_cfg, "spatial_shards", 0) or 0)
+        if n_spatial > 1 and self.solver_cfg.name == "minres-bj":
+            # Silently falling back to the replicated solve would defeat
+            # the reason spatial_shards exists (HBM at SPE10 scale).
+            raise ValueError(
+                "spatial_shards requires a cg-schur-family solver; "
+                "minres-bj solves the full saddle system replicated"
+            )
+        if (
+            int(getattr(self.solver_cfg, "spatial_sample_shards", 1) or 1) > 1
+            and n_spatial <= 1
+        ):
+            import warnings
+
+            warnings.warn(
+                "spatial_sample_shards > 1 has no effect without "
+                "spatial_shards > 1 (no (dp, sp) mesh is built)",
+                stacklevel=2,
+            )
 
     def level_blocks(self, level: int):
         """Per-(cell, axis) mass blocks (bll, blr, brr) of the level - the
@@ -694,17 +713,32 @@ class DarcySolver:
         cg-schur variants get local-sqrt(w)-scaled diag(S_bar) Jacobi,
         adequate only at modest contrast. Exists for the levels that do
         not FIT replicated."""
-        if level not in self._spatial_cache:
+        cfg = self.solver_cfg
+        # Key on every config field SpatialDarcy bakes in at construction,
+        # so the repo-idiomatic `solver.solver_cfg = dataclasses.replace(
+        # solver_cfg, relative_tolerance=...)` pattern rebuilds instead of
+        # silently answering at the stale tolerance (review r3).
+        key = (
+            level,
+            cfg.name,
+            int(cfg.spatial_shards),
+            int(getattr(cfg, "spatial_sample_shards", 1) or 1),
+            float(cfg.relative_tolerance),
+            int(cfg.max_iterations),
+            int(getattr(cfg, "restart_every", 50) or 0),
+            getattr(cfg, "coefmg_prec_dtype", ""),
+            int(getattr(cfg, "coefmg_cycles", 1)),
+        )
+        if key not in self._spatial_cache:
             from parelagmc_tpu.parallel.spatial_darcy import SpatialDarcy
 
-            cfg = self.solver_cfg
-            self._spatial_cache[level] = SpatialDarcy.from_darcy(
+            self._spatial_cache[key] = SpatialDarcy.from_darcy(
                 self,
                 level,
                 n_sp=int(cfg.spatial_shards),
                 n_dp=int(getattr(cfg, "spatial_sample_shards", 1) or 1),
             )
-        return self._spatial_cache[level]
+        return self._spatial_cache[key]
 
     def _solve_spatial(
         self, level: int, w: jnp.ndarray, return_pressure: bool, p0=None

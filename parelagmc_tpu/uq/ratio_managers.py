@@ -437,9 +437,12 @@ class BayesRatioManager:
         self.compute_nsamples_mse()
 
     def resume(self, path: str) -> float:
-        """Load a checkpoint and continue the adaptive run to the target."""
+        """Load a checkpoint and continue the adaptive run to the target,
+        with the same final verbose report as an uninterrupted run()."""
         self.load_state(path)
         self._adaptive_loop()
+        if self.verbose:
+            print(self.show_me())
         return self.estimate
 
     # -- reporting --------------------------------------------------------------------

@@ -113,6 +113,38 @@ def _build_and_shard_bad():
     SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
 
 
+def test_direct_construction_zeroes_essential_rhs():
+    """Direct construction (not from_darcy) with a raw rhs carrying
+    nonzero entries on essential boundary faces must match the clean
+    solve: the constructor zeroes them like DarcySolver does at setup
+    (review r3)."""
+    hier, solver = _build((4, 16, 4), kinv_contrast=10.0)
+    mesh = hier.levels[0].mesh
+    L = solver.levels[0]
+    rhs_dirty = np.asarray(L.rhs, dtype=np.float64).copy()
+    ess = np.asarray(L.ess)
+    rhs_dirty[: L.n_u][ess] = 7.5  # garbage on essential faces
+    sp = SpatialDarcy(
+        mesh,
+        solver.level_blocks(0),
+        np.asarray(solver.config.ess_attr[:6]),
+        rhs_dirty,
+        np.asarray(L.obs_func, dtype=np.float64),
+        solver.sbar_diag_np(0),
+        n_sp=N_SP,
+        dtype=jnp.float64,
+        max_iters=4000,
+        rtol=1e-9,
+        ess=ess,
+    )
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.3))
+    q_ref, _, _ = solver.solve_fwd(0, w)
+    q, _, rel = sp.solve_fwd(w)
+    assert float(np.max(np.asarray(rel))) < 1e-8
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
+
+
 def test_warm_start_and_pressure_return():
     """p0 = the exact solution must converge in 0 iterations and return the
     unsharded solver's physical pressure; the warm path is what
