@@ -105,7 +105,10 @@ def test_sl_ratio_manager(tmp_path):
     prob.set_observational_data([0.55])
     mgr = SLBayesRatioManager(prob, cfg)
     est = mgr.run()
-    assert 1.0 < est < 5.0
+    # Fixed-seed f64 anchor: single-level adaptive N depends only on the
+    # sampled variance (the cost model cancels for one level), so the run
+    # is deterministic across hosts up to reduction-order drift.
+    np.testing.assert_allclose(est, 1.98477, rtol=0.05)
     assert "SL_BayesRatio_Manager" in mgr.show_me()
     mgr.close()
 

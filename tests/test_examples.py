@@ -209,11 +209,13 @@ def test_ratio_estimator_mc_driver(capsys, tmp_path, monkeypatch):
     )
     out = capsys.readouterr().out
     assert "FINAL SL_BayesRatio_Manager ERRORS" in out
-    assert 1.0 < est < 5.0
+    # Fixed-seed f64 anchor (round-2 VERDICT item 10): pinned value with a
+    # ±5% band to tolerate BLAS/reduction-order drift across hosts.
+    np.testing.assert_allclose(est, 2.24332, rtol=0.05)
     est_s = ratio_estimator_mc.main(
         SMALL + ["--dtype", "float64", "--seed", "0", "--splitting"]
     )
-    assert abs(est_s - est) < 1.0  # same posterior, different estimator
+    np.testing.assert_allclose(est_s, 2.24155, rtol=0.05)
 
 
 def test_compute_reference_obs_data_driver(capsys, tmp_path, monkeypatch):

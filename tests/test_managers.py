@@ -75,7 +75,8 @@ def test_mc_manager(tmp_path):
     mgr = MCManager(solver, sampler, cfg)
     est = mgr.run()
     assert mgr.ml_estimator_variance <= cfg.mse_splitting_ratio * mgr.eps2
-    assert 1.5 < est < 4.0
+    # Fixed-seed f64 anchor (single-level: adaptive N is cost-independent).
+    np.testing.assert_allclose(est, 2.12572, rtol=0.05)
     assert "SLMC Manager" in mgr.show_me()
     mgr.close()
 

@@ -175,5 +175,6 @@ def test_unstructured_mc_manager(tmp_path):
     solver = UnstructuredDarcySolver(lvl, cfg, DT)
     mgr = MCManager(solver, sampler, cfg)
     est = mgr.run()
-    assert 0.5 < est < 5.0
+    # Fixed-seed f64 anchor (single-level: adaptive N is cost-independent).
+    np.testing.assert_allclose(est, 3.46972, rtol=0.05)
     mgr.close()
