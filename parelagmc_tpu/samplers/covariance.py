@@ -263,7 +263,11 @@ class MaternCovariance(CovarianceFunction):
                 g = X[:, j].reshape(rev).transpose(axes_perm)
                 pad = np.zeros([2 * s for s in shape])
                 pad[tuple(slice(0, s) for s in shape)] = g
-                conv = np.fft.irfftn(np.fft.rfftn(pad) * sym, s=[2 * s for s in shape])
+                axes = tuple(range(len(shape)))
+                conv = np.fft.irfftn(
+                    np.fft.rfftn(pad, axes=axes) * sym,
+                    s=[2 * s for s in shape], axes=axes,
+                )
                 res = conv[tuple(slice(0, s) for s in shape)]
                 out[:, j] = res.transpose(axes_perm).reshape(-1)
             return out
