@@ -128,6 +128,13 @@ class SolverConfig:
     # stronger upper-spectrum damping - see ops/coef_multigrid.py).
     coefmg_cheby_order: int = 0
     coefmg_cheby_lo: float = 0.25
+    # Jacobi pre/post sweeps per V-cycle level when coefmg_cheby_order == 0
+    # (ignored by the Chebyshev smoother, which derives its sweep count
+    # from the order). V(2,2) is the measured SPE10 sweet spot; the knob
+    # exists for examples/spe10_mg_tuning.py sweeps.
+    coefmg_sweeps: int = 2
+    # Jacobi damping for the coefMG smoother and coarsest sweeps.
+    coefmg_omega: float = 0.8
     # "auto": tensor-product meshes use the slicing-only structured MG
     # (ops/coef_multigrid_structured.py); "gather": force the generic
     # gather-table implementation (oracle / unstructured semantics).

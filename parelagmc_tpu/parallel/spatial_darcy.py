@@ -445,10 +445,11 @@ class SpatialDarcy:
             {
                 "cutoff": scfg.coarse_dense_cutoff,
                 "coarse_sweeps": max(1, scfg.mg_coarse_sweeps),
+                "omega": getattr(scfg, "coefmg_omega", 0.8),
                 "cheby_order": getattr(scfg, "coefmg_cheby_order", 0),
                 "cheby_lo": getattr(scfg, "coefmg_cheby_lo", 0.25),
                 "cycles": max(1, getattr(scfg, "coefmg_cycles", 1)),
-                "sweeps": max(1, scfg.smoother_iterations),
+                "sweeps": max(1, getattr(scfg, "coefmg_sweeps", 2)),
                 "prec_dtype": getattr(scfg, "coefmg_prec_dtype", ""),
             },
         )

@@ -128,6 +128,7 @@ def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
             mesh,
             cutoff=solver_cfg.coarse_dense_cutoff,
             coarse_sweeps=max(1, solver_cfg.mg_coarse_sweeps),
+            omega=getattr(solver_cfg, "coefmg_omega", 0.8),
             cheby_order=getattr(solver_cfg, "coefmg_cheby_order", 0),
             cheby_lo=getattr(solver_cfg, "coefmg_cheby_lo", 0.25),
         )
@@ -139,6 +140,7 @@ def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
         dtype=dtype,
         cutoff=solver_cfg.coarse_dense_cutoff,
         coarse_sweeps=max(1, solver_cfg.mg_coarse_sweeps),
+        omega=getattr(solver_cfg, "coefmg_omega", 0.8),
         cheby_order=getattr(solver_cfg, "coefmg_cheby_order", 0),
         cheby_lo=getattr(solver_cfg, "coefmg_cheby_lo", 0.25),
     )
@@ -863,6 +865,7 @@ class DarcySolver:
                     return fn
                 return lambda r: fn(r.astype(pdt)).astype(r.dtype)
 
+            nsw = max(1, int(getattr(self.solver_cfg, "coefmg_sweeps", 2)))
             if isinstance(L.coef_mg, StructCoefMG):
                 # Precomputed (dinv_axes, idiag) per level: the Jacobi
                 # diagonals are loop invariants too (see struct_mg_setup).
@@ -870,7 +873,7 @@ class DarcySolver:
                 if pdt is not None:
                     dinvs = jax.tree.map(lambda a: a.astype(pdt), dinvs)
                 cycle = _cast_prec(
-                    lambda r: struct_v_cycle(L.coef_mg, dinvs, r)
+                    lambda r: struct_v_cycle(L.coef_mg, dinvs, r, sweeps=nsw)
                 )
                 s_fine = lambda z: struct_s_apply(L.coef_mg, dinvs, z)
             else:
@@ -888,7 +891,7 @@ class DarcySolver:
                     idiags = [d.astype(pdt) for d in idiags]
                 cycle = _cast_prec(
                     lambda r: coef_v_cycle(
-                        L.coef_mg, dinvs, r, idiags=idiags
+                        L.coef_mg, dinvs, r, nsw, idiags=idiags
                     )
                 )
                 s_fine = lambda z: _s_apply(

@@ -225,6 +225,43 @@ def test_coefmg_bf16_prec_state_matches():
     assert results["bfloat16"][1] <= int(results[""][1] * 1.3) + 2
 
 
+def test_coefmg_smoother_knobs_reach_preconditioner():
+    """coefmg_sweeps / coefmg_omega / coefmg_cheby_order change only the
+    preconditioner (examples/spe10_mg_tuning.py's scan surface): every
+    variant converges to the same QoI; a deliberately weakened smoother
+    (one damped sweep) needs at least as many iterations as V(2,2)."""
+    import jax
+
+    from parelagmc_tpu.samplers import SPDESampler
+
+    hier = build_geometric_hierarchy(
+        make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0)), 2
+    )
+    results = {}
+    for label, over in (
+        ("prod", {}),
+        ("weak", {"coefmg_sweeps": 1, "coefmg_omega": 0.4}),
+        ("cheb", {"coefmg_cheby_order": 3}),
+    ):
+        cfg = ProblemConfig(refinements=1, batch_size=4)
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.relative_tolerance = 1e-10
+        cfg.darcy_solver.max_iterations = 500
+        cfg.darcy_solver.coarse_dense_cutoff = 30
+        for k, v in over.items():
+            setattr(cfg.darcy_solver, k, v)
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        xi = sampler.sample(0, jax.random.PRNGKey(2), 4)
+        s = sampler.eval(0, xi)
+        q, _, info = solver.solve_fwd(0, s)
+        assert bool(np.asarray(info.converged).all()), label
+        results[label] = (np.asarray(q), int(info.iterations))
+    np.testing.assert_allclose(results["weak"][0], results["prod"][0], rtol=1e-7)
+    np.testing.assert_allclose(results["cheb"][0], results["prod"][0], rtol=1e-7)
+    assert results["weak"][1] >= results["prod"][1]
+
+
 def test_cg_schur_coefmg_structured_matches_gather():
     """solve_fwd with the structured (slicing) coefMG preconditioner
     produces the same QoI as with the generic gather tables - same
