@@ -34,6 +34,19 @@ import time
 
 sys.path.insert(0, ".")
 
+# --platform cpu must take effect before any backend initializes; this
+# session pre-imports jax pinned to the axon tunnel, so env vars are too
+# late (tests/conftest.py note) - jax.config.update still works here.
+if "--platform" in sys.argv:
+    _i = sys.argv.index("--platform")
+    _plat = sys.argv[_i + 1]
+    del sys.argv[_i: _i + 2]
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+    if _plat == "cpu" and "float64" in sys.argv:
+        jax.config.update("jax_enable_x64", True)
+
 import numpy as np
 
 from examples.common import parse_config
