@@ -87,6 +87,15 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
                    help="with --spatial-shards: additionally shard the "
                         "sample batch over a leading 'dp' mesh axis "
                         "(shards * sample_shards devices total)")
+    p.add_argument("--solver-opt", action="append", default=None,
+                   metavar="KEY=VALUE",
+                   help="set any DarcySolverConfig field by name, e.g. "
+                        "--solver-opt coefmg_cheby_order=3 --solver-opt "
+                        "coefmg_cheby_lo=0.10 --solver-opt "
+                        "coefmg_prec_dtype=bfloat16 (values are coerced "
+                        "to the dataclass field's type; the analog of the "
+                        "reference's preconditioner ParameterList blocks, "
+                        "src/Utilities.cpp)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -133,4 +142,18 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         cfg.darcy_solver.spatial_shards = args.spatial_shards
     if args.spatial_sample_shards is not None:
         cfg.darcy_solver.spatial_sample_shards = args.spatial_sample_shards
+    for kv in args.solver_opt or ():
+        key, _, val = kv.partition("=")
+        if not _ or not hasattr(cfg.darcy_solver, key):
+            raise SystemExit(
+                f"--solver-opt {kv!r}: unknown DarcySolverConfig field "
+                f"{key!r} (see parelagmc_tpu/config.py)"
+            )
+        cur = getattr(cfg.darcy_solver, key)
+        coerce = type(cur) if cur is not None else str
+        if coerce is bool:
+            setattr(cfg.darcy_solver, key,
+                    val.lower() in ("1", "true", "yes", "on"))
+        else:
+            setattr(cfg.darcy_solver, key, coerce(val))
     return cfg

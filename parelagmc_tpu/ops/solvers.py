@@ -100,8 +100,33 @@ def pcg(
 
     it0 = jnp.zeros((), dtype=jnp.int32)
     it, x, r, p, rz, rn = jax.lax.while_loop(cond, body, (it0, x, r, p, rz, rn))
+    # Verify claimed convergence against the TRUE residual. The loop's rn
+    # is the CG recurrence residual between restarts, and in float32 the
+    # recurrence drifts BELOW the true residual - measured at SPE10 scale
+    # (batch 8, cg-schur-coefmg + order-3 Chebyshev smoothing): the
+    # recurrence claimed rtol 1e-5 at iteration 36 while the true residual
+    # was orders looser, leaving the flux QoI 5x wrong (Q=21.8 vs 116.6;
+    # same failure shape as the rtol root-cause note in CLAUDE.md). One
+    # extra apply_A, and only on EARLY exit: fixed-budget runs (bench.py's
+    # 50-iteration golden solves) exit by max_iters and skip it, so the
+    # throughput headline is untouched. Honest converged flags make the
+    # segmented production paths (solve_fwd_x0 continuations keyed on
+    # info.converged) self-correcting against this whole drift class.
+    def _true_rn(args):
+        x, rn = args
+        r_t = b - apply_A(x)
+        return jnp.sqrt(_vdot(r_t, r_t))
+
+    verified = it < max_iters
+    rn = jax.lax.cond(verified, _true_rn, lambda args: args[1], (x, rn))
     rel = rn / jnp.where(b_norm == 0, 1.0, b_norm)
-    return x, SolveInfo(it, rel, rn <= thresh)
+    # The true residual at the exit iteration generically sits a small
+    # factor above the recurrence that triggered the exit (measured 2x at
+    # rtol 1e-10 on the f64 unstructured saddle solves); the failure class
+    # this verification exists for is ORDERS of magnitude. 4x slack keeps
+    # the flag honest for the latter without flagging the former.
+    conv = rn <= thresh * jnp.where(verified, 4.0, 1.0)
+    return x, SolveInfo(it, rel, conv)
 
 
 def minres(
@@ -215,8 +240,23 @@ def minres(
         return out
 
     s = jax.lax.while_loop(cond, body, state)
-    rel = s["phibar"] / jnp.where(b_norm == 0, 1.0, b_norm)
-    return s["x"], SolveInfo(s["it"], rel, s["phibar"] <= thresh)
+    # Verify claimed convergence against the true residual (same float32
+    # recurrence-drift class as pcg above; phibar is the Lanczos residual
+    # ESTIMATE). Only on early exit, so fixed-budget runs skip the extra
+    # apply_A.
+    def _true_rn(args):
+        x, rn = args
+        r_t = b - apply_A(x)
+        return jnp.sqrt(_vdot(r_t, r_t))
+
+    verified = s["it"] < max_iters
+    rn = jax.lax.cond(
+        verified, _true_rn, lambda args: args[1], (s["x"], s["phibar"])
+    )
+    rel = rn / jnp.where(b_norm == 0, 1.0, b_norm)
+    # Same 4x exit-slack rationale as pcg above.
+    conv = rn <= thresh * jnp.where(verified, 4.0, 1.0)
+    return s["x"], SolveInfo(s["it"], rel, conv)
 
 
 def chebyshev(

@@ -51,3 +51,25 @@ def test_preconditioner_library_sublists_accessible():
     assert "MINRES-BJ-GS" in lib
     solver = lib.sublist("MINRES-BJ-GS", create=False)
     assert solver.sublist("Solver Parameters", create=False)["Solver name"] == "MINRES"
+
+
+def test_solver_opt_cli_overrides():
+    # --solver-opt sets any DarcySolverConfig field with type coercion
+    # (the CLI analog of the reference's preconditioner ParameterList
+    # blocks, src/Utilities.cpp solver library).
+    from examples.common import parse_config
+
+    cfg = parse_config([
+        "--solver-opt", "coefmg_cheby_order=3",
+        "--solver-opt", "coefmg_cheby_lo=0.10",
+        "--solver-opt", "coefmg_prec_dtype=bfloat16",
+        "--solver-opt", "local_schur_scaling=true",
+    ])
+    assert cfg.darcy_solver.coefmg_cheby_order == 3
+    assert cfg.darcy_solver.coefmg_cheby_lo == 0.10
+    assert cfg.darcy_solver.coefmg_prec_dtype == "bfloat16"
+    assert cfg.darcy_solver.local_schur_scaling is True
+    with pytest.raises(SystemExit):
+        parse_config(["--solver-opt", "no_such_field=1"])
+    with pytest.raises(SystemExit):
+        parse_config(["--solver-opt", "coefmg_cheby_order"])  # no '='
