@@ -119,7 +119,7 @@ def main():
     marginal("mg_s_apply_0", s0, r_s)
     marginal("v_cycle", lambda r: struct_v_cycle(mg, state, r), r_s)
     marginal("setup(dinv+idiag+fac)", lambda d0: sum(
-        x.sum() for lvl, idg in struct_mg_setup(mg, d0) for x in lvl
+        x.sum() for ent in struct_mg_setup(mg, d0) for x in ent[0]
     ) + sum(t.sum() for axf in L.mass_solver.factor(
         jnp.exp(-d0[..., : L.n_s])) for t in axf) + d0, dinv0)
 

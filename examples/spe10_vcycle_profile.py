@@ -88,7 +88,7 @@ def main():
         return x.reshape(x.shape[:-1] + tuple(shape0[::-1]))
 
     bg = jax.block_until_ready(to_grid(r_s))
-    dinv_axes0, idiag0 = state[0]
+    dinv_axes0, idiag0 = state[0][0], state[0][1]
 
     # 1. One Jacobi sweep at level 0 (residual form).
     def sweep0(x):

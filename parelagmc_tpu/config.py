@@ -135,6 +135,24 @@ class SolverConfig:
     coefmg_sweeps: int = 2
     # Jacobi damping for the coefMG smoother and coarsest sweeps.
     coefmg_omega: float = 0.8
+    # Per-sample LINE relaxation for the structured coefMG: batched Thomas
+    # solves along these mesh axes replace the point smoother ("z", "zy",
+    # ...; letters name the PHYSICAL axes of the original, unpermuted
+    # problem - build_problem relabels them together with axis_order).
+    # "auto" picks every axis whose kinv_ref-weighted mean face
+    # conductance is >= 3x the weakest axis's (the static MG's
+    # mg_line_smoother detection rule). Exists for thin high-contrast
+    # barriers that P0 coarse grids cannot represent and point smoothers
+    # cannot relax (see ops/coef_multigrid_structured.StructCoefMG).
+    coefmg_line_axes: str = ""
+    # Damping for the line sweeps (T_a has the full diagonal, so 1.0 is
+    # S-convergent; the knob exists for tuning studies).
+    coefmg_line_omega: float = 1.0
+    # Coarse-face construction for the structured coefMG: "galerkin" (P0
+    # RAP face-sum - exact but short-circuits thin barriers that land on
+    # dropped planes) or "harmonic" (series-composed faces - every level
+    # sees every barrier; pair with coefmg_line_axes).
+    coefmg_coarsen: str = "galerkin"
     # "auto": tensor-product meshes use the slicing-only structured MG
     # (ops/coef_multigrid_structured.py); "gather": force the generic
     # gather-table implementation (oracle / unstructured semantics).
@@ -145,6 +163,17 @@ class SolverConfig:
     # scale) regardless, so spending more cheap gather-stencil MG work per
     # iteration to cut the iteration count is a net win at scale.
     coefmg_cycles: int = 1
+    # Goal-oriented (adjoint-corrected) QoI for the cg-schur family: also
+    # solve the adjoint Schur system S(w) lam = q_s (q_s = c_p - B M(w)^{-1}
+    # c_u, the QoI functional reduced to pressure space) and report
+    # Q + lam^T r with r the primal solve's true residual. The remaining
+    # QoI error is the PRODUCT of the primal and adjoint residuals, so a
+    # loose rtol (1e-3..1e-4) yields deep-converged-grade QoIs: at SPE10's
+    # ~1e6 contrast the flux QoI error is ~1e5 x the true rel residual
+    # (CLAUDE.md r3 revised root cause), which brute rtol cannot
+    # economically reach in float32. Costs one extra Schur CG solve of the
+    # same system (same preconditioner state, shared setup).
+    adjoint_qoi: bool = False
     # Preconditioner-state dtype for cg-schur-coefmg: "" keeps the solve
     # dtype; "bfloat16" casts the per-sample V-cycle tables AND its
     # residual math to bf16 (CG itself stays in the solve dtype). The

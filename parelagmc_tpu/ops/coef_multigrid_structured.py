@@ -47,6 +47,27 @@ class StructCoefMG(NamedTuple):
     coarse_sweeps: int
     cheby_order: int = 0
     cheby_lo: float = 0.25
+    # Per-sample LINE relaxation (batched Thomas solves along these mesh
+    # axes) instead of the point Jacobi/Chebyshev smoother. Why it exists:
+    # a thin high-contrast barrier INSIDE a 2-cell coarsening group is
+    # invisible to every P0 Galerkin coarse level (the intra-group face
+    # drops out of RAP entirely) and point smoothers reduce the jump mode
+    # across it at rate ~ 1 - g_barrier/diag ~ 1 - 1e-6 per sweep - these
+    # are exactly the near-null barrier modes that make the Schur CG's
+    # QoI conditioning ~1e5 at SPE10 contrast (CLAUDE.md r3 revised).
+    # A line solve along the axis NORMAL to the barrier inverts the weak
+    # link exactly (it is IN the tridiagonal), killing the mode in one
+    # sweep. Reference analog: hypre's BoomerAMG handles this via
+    # strength-of-connection coarsening; per-sample coefficient-adaptive
+    # AGGREGATION would break the static tensor structure on TPU, so the
+    # smoother absorbs the coefficient adaptivity instead.
+    line_axes: Tuple[int, ...] = ()
+    line_omega: float = 1.0
+    # "galerkin": P0 RAP coarse faces (_plane_select, the exact face-sum
+    # identity). "harmonic": series-composed coarse faces (_face_series)
+    # so thin barriers stay visible on every level - pair with line_axes
+    # for barrier-dominated coefficients.
+    coarsen: str = "galerkin"
 
 
 def build_struct_coef_mg(
@@ -56,6 +77,9 @@ def build_struct_coef_mg(
     omega: float = 0.8,
     cheby_order: int = 0,
     cheby_lo: float = 0.25,
+    line_axes: Tuple[int, ...] = (),
+    line_omega: float = 1.0,
+    coarsen: str = "galerkin",
 ) -> StructCoefMG:
     """MG level shapes below `mesh` (a StructuredMesh), derefining by 2 per
     axis until <= cutoff cells - the same ladder as build_coef_mg. The
@@ -82,6 +106,9 @@ def build_struct_coef_mg(
         coarse_sweeps=int(coarse_sweeps),
         cheby_order=int(cheby_order),
         cheby_lo=float(cheby_lo),
+        line_axes=tuple(int(a) for a in line_axes),
+        line_omega=float(line_omega),
+        coarsen=str(coarsen),
     )
 
 
@@ -156,6 +183,41 @@ def _plane_select(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
     return jnp.moveaxis(jnp.concatenate([main, last], axis=-1), -1, axis)
 
 
+def _series(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Conductances in series: ab/(a+b), 0-safe (a 0-conductance
+    (essential/blocked) face stays blocked)."""
+    s = a + b
+    return jnp.where(s > 0, a * b / jnp.where(s > 0, s, 1.0), 0.0)
+
+
+def _face_series(x: jnp.ndarray, axis: int, n_f: int, n_c: int) -> jnp.ndarray:
+    """Harmonic (series) coarse faces of one axis: coarse face k combines
+    fine faces [2k, 2k+1] in series (the last combines the 1-2 faces the
+    tail cell leaves over). This is the 2-point-flux REdiscretization of
+    the coarse grid rather than the P0 Galerkin RAP (_plane_select, which
+    keeps only the selected plane): a thin blocking layer anywhere in the
+    fine grid stays visible on EVERY coarse level instead of being
+    short-circuited when it lands on a dropped (intra-group) plane. For a
+    constant coefficient, series(d, d) = d/2 reproduces the 2-point-flux
+    REdiscretization of the coarse grid - HALF the P0 RAP face sum: plain
+    (unsmoothed) aggregation's rigid-aggregate energy overestimates
+    inter-aggregate stiffness 2x per coarsened axis, which is exactly the
+    overcorrection-factor-2 phenomenon of aggregation MG, and removing it
+    is a second reason this option converges faster (measured on the
+    half-scale synthetic SPE10 at rtol 1e-7: 51 -> 34 CG iterations with
+    the cheb3 smoother, 49 -> 28 with cheb3 + z lines). Moveaxis form per
+    the MISCOMPILE GUARD above."""
+    if n_c == n_f:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    main = _series(x[..., : 2 * n_c: 2], x[..., 1: 2 * n_c: 2])
+    rest = x[..., 2 * n_c:]  # tail-cell leftovers: 1 (tail 2) or 2 (tail 3)
+    last = rest[..., :1] if rest.shape[-1] == 1 else _series(
+        rest[..., :1], rest[..., 1:2]
+    )
+    return jnp.moveaxis(jnp.concatenate([main, last], axis=-1), -1, axis)
+
+
 # -- per-sample hierarchy setup ----------------------------------------------
 
 
@@ -174,12 +236,16 @@ def struct_mg_dinvs(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
         seg = dinv0_flat[..., mg.face_offsets[a]: mg.face_offsets[a + 1]]
         axes0.append(seg.reshape(batch + tuple(fshape[::-1])))
     out = [tuple(axes0)]
+    coarsen_face = (
+        _face_series if getattr(mg, "coarsen", "galerkin") == "harmonic"
+        else _plane_select
+    )
     for lvl in mg.levels[1:]:
         prev = out[-1]
         cur = []
         for a in range(d):
             x = prev[a]
-            x = _plane_select(
+            x = coarsen_face(
                 x, _arr_ax(x, d, a), lvl.fine_shape[a], lvl.shape[a]
             )
             for b in range(d):
@@ -192,27 +258,68 @@ def struct_mg_dinvs(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
     return out
 
 
+def _line_tables(dinv_axes, d: int, a: int):
+    """Tridiagonal tables for line relaxation along mesh axis a on the
+    cell grid, solved axis LAST: full Jacobi diagonal (all axes' face
+    pairs), off-diagonals -dinv_a at the interior faces. T_a is an
+    M-matrix with the FULL diagonal, so it is SPD and 2 T_a - S is
+    diagonally dominant: the undamped line-Jacobi sweep is S-convergent
+    and the V-cycle stays a valid CG preconditioner."""
+    diag = _jdiag_grid(dinv_axes, d)
+    da = dinv_axes[a]
+    dm = jnp.moveaxis(da, _arr_ax(da, d, a), -1)  # (..., n_a + 1) faces
+    # Cell i couples to i-1 through face i and to i+1 through face i+1;
+    # boundary faces 0 and n_a only contribute to the diagonal (the
+    # Thomas recurrence never reads dl[0] / du[n_a - 1]).
+    dl = -dm[..., :-1]
+    du = -dm[..., 1:]
+    dd = jnp.moveaxis(diag, _arr_ax(diag, d, a), -1)
+    return dl, dd, du
+
+
 def struct_mg_setup(mg: StructCoefMG, dinv0_flat: jnp.ndarray):
-    """Full per-solve V-cycle state: per level (dinv_axes, idiag) with the
-    inverse Jacobi diagonal precomputed. Like the Thomas tables
-    (ops/mass_solve.factor), idiag depends only on the sample coefficient;
-    computing it inside the V-cycle re-pays its slice/where/reciprocal
-    chain every preconditioner application inside the CG while_loop (XLA
-    does not hoist loop invariants out of while bodies)."""
+    """Full per-solve V-cycle state: per level (dinv_axes, idiag,
+    line_tables) with the inverse Jacobi diagonal (and, when mg.line_axes
+    is set, the per-axis tridiagonal line tables) precomputed. Like the
+    Thomas tables (ops/mass_solve.factor), these depend only on the sample
+    coefficient; computing them inside the V-cycle re-pays their
+    slice/where/reciprocal chains every preconditioner application inside
+    the CG while_loop (XLA does not hoist loop invariants out of while
+    bodies)."""
     d = len(mg.levels[0].shape)
     dinvs = struct_mg_dinvs(mg, dinv0_flat)
-    return [(axes, 1.0 / _jdiag_grid(axes, d)) for axes in dinvs]
+    out = []
+    for axes in dinvs:
+        lines = tuple(_line_tables(axes, d, a) for a in mg.line_axes)
+        out.append((axes, 1.0 / _jdiag_grid(axes, d), lines))
+    return out
 
 
 def _as_state(mg: StructCoefMG, dinvs):
     """Accept either struct_mg_setup state or bare struct_mg_dinvs output
     (oracle tests / older call sites) and normalize to state entries."""
-    if dinvs and isinstance(dinvs[0], tuple) and len(dinvs[0]) == 2 and (
+    d = len(mg.levels[0].shape)
+    if dinvs and isinstance(dinvs[0], tuple) and len(dinvs[0]) in (2, 3) and (
         isinstance(dinvs[0][0], tuple)
     ):
-        return dinvs
-    d = len(mg.levels[0].shape)
-    return [(axes, 1.0 / _jdiag_grid(axes, d)) for axes in dinvs]
+        if len(dinvs[0]) == 3:
+            return dinvs
+        return [
+            (
+                axes,
+                idiag,
+                tuple(_line_tables(axes, d, a) for a in mg.line_axes),
+            )
+            for axes, idiag in dinvs
+        ]
+    return [
+        (
+            axes,
+            1.0 / _jdiag_grid(axes, d),
+            tuple(_line_tables(axes, d, a) for a in mg.line_axes),
+        )
+        for axes in dinvs
+    ]
 
 
 # -- device apply -------------------------------------------------------------
@@ -291,26 +398,94 @@ def _cheb_smooth_grid(mg, dinv_axes, idiag, b, x):
     return x + dvec
 
 
+def _tridiag_solve_last(dl, dd, du, r):
+    """Tridiagonal solve along the LAST axis, Pallas-fused on accelerator
+    backends for large line counts (the same dispatch rule as
+    ops/mass_solve.build_mass_tridiag_solver's measured crossover)."""
+    import jax as _jax
+
+    nlines = int(np.prod(r.shape[:-1])) if r.ndim > 1 else 1
+    if nlines * r.shape[-1] > 32768 and _jax.default_backend() != "cpu":
+        from parelagmc_tpu.ops.tridiag_pallas import tridiag_thomas_pallas
+
+        return tridiag_thomas_pallas(dl, dd, du, r)
+    from parelagmc_tpu.ops.mass_solve import _thomas_solve
+
+    return _thomas_solve(dl, dd, du, r)
+
+
+def _line_solve(tables, r, d: int, a: int):
+    """T_a^{-1} r on the cell grid (tables from _line_tables)."""
+    dl, dd, du = tables
+    ax = _arr_ax(r, d, a)
+    x = _tridiag_solve_last(dl, dd, du, jnp.moveaxis(r, ax, -1))
+    return jnp.moveaxis(x, -1, ax)
+
+
+def _line_smooth_grid(mg, dinv_axes, lines, b, x, reverse: bool):
+    """One pass of line relaxation: for each configured axis,
+    x += line_omega * T_a^{-1} (b - S x). The post-smoothing pass runs the
+    axes REVERSED so the V-cycle stays self-adjoint (each T_a^{-1} update
+    is S-self-adjoint alone; a multi-axis product needs its mirror)."""
+    d = len(dinv_axes)
+    order = range(len(mg.line_axes))
+    if reverse:
+        order = reversed(list(order))
+    for i in order:
+        a = mg.line_axes[i]
+        if x is None:
+            x = mg.line_omega * _line_solve(lines[i], b, d, a)
+        else:
+            r = b - _s_apply_grid(dinv_axes, x)
+            x = x + mg.line_omega * _line_solve(lines[i], r, d, a)
+    return x
+
+
 def _v_cycle_grid(mg: StructCoefMG, state, b, sweeps: int, level: int):
     d = len(mg.levels[0].shape)
-    dinv_axes, idiag = state[level]
+    dinv_axes, idiag, lines = state[level]
     cheby = mg.cheby_order > 0
+    use_lines = bool(mg.line_axes) and len(lines) == len(mg.line_axes)
     if level == len(mg.levels) - 1:
+        if use_lines:
+            # Line sweeps at the coarsest level too: inter-aggregate
+            # barriers stay visible as weak coarse faces all the way
+            # down, and the Jacobi coarse solve stalls on them exactly
+            # like the fine smoother. (fwd, rev) pass pairs keep the
+            # coarse operator symmetric.
+            x = _line_smooth_grid(mg, dinv_axes, lines, b, None, False)
+            x = _line_smooth_grid(mg, dinv_axes, lines, b, x, True)
+            for _ in range(max(1, mg.coarse_sweeps // 2) - 1):
+                x = _line_smooth_grid(mg, dinv_axes, lines, b, x, False)
+                x = _line_smooth_grid(mg, dinv_axes, lines, b, x, True)
+            return x
         x = mg.omega * idiag * b
         for _ in range(mg.coarse_sweeps - 1):
             x = x + mg.omega * idiag * (b - _s_apply_grid(dinv_axes, x))
         return x
+    # Pre-smoothing. Lines AUGMENT the point/Chebyshev smoother rather
+    # than replace it: a line solve along axis a does not damp modes
+    # oscillatory in the transverse axes (measured: a lone z-line pass
+    # degrades the bulk V-cycle rate 0.867 -> 0.928 on a 16x16x32 barrier
+    # problem), while the point smoother cannot relax across weak
+    # (barrier) faces - each covers the other's blind spot. Adjoint
+    # ordering (pre: point then lines-fwd; post: lines-rev then point)
+    # keeps the cycle S-self-adjoint.
     if cheby:
         x = _cheb_smooth_grid(mg, dinv_axes, idiag, b, None)
     else:
         x = mg.omega * idiag * b
         for _ in range(sweeps - 1):
             x = x + mg.omega * idiag * (b - _s_apply_grid(dinv_axes, x))
+    if use_lines:
+        x = _line_smooth_grid(mg, dinv_axes, lines, b, x, reverse=False)
     r = b - _s_apply_grid(dinv_axes, x)
     nxt = mg.levels[level + 1]
     rc = _restrict_cells(r, nxt, d)
     xc = _v_cycle_grid(mg, state, rc, sweeps, level + 1)
     x = x + _prolong_cells(xc, nxt, d)
+    if use_lines:
+        x = _line_smooth_grid(mg, dinv_axes, lines, b, x, reverse=True)
     if cheby:
         return _cheb_smooth_grid(mg, dinv_axes, idiag, b, x)
     for _ in range(sweeps):

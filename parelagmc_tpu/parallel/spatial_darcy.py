@@ -158,6 +158,17 @@ def spike_tridiag_solve(dl, d, du, b, axis_name: str, n_sp: int):
     )
 
 
+def _parse_line_axes_compat(scfg, mesh) -> tuple:
+    """config.coefmg_line_axes for the spatial path: explicit letters only
+    ("auto" needs the reference coefficient, unavailable here -> ())."""
+    spec = (getattr(scfg, "coefmg_line_axes", "") or "").strip().lower()
+    if not spec or spec == "auto":
+        return ()
+    from parelagmc_tpu.physics.darcy import _parse_line_axes
+
+    return _parse_line_axes(spec, mesh, None)
+
+
 class _Grids(NamedTuple):
     """Global grid-form static data, every array sharded along its y dim
     inside the shard_map (cells: (nz, ny, nx); a-faces: +1 plane along a).
@@ -451,6 +462,15 @@ class SpatialDarcy:
                 "cycles": max(1, getattr(scfg, "coefmg_cycles", 1)),
                 "sweeps": max(1, getattr(scfg, "coefmg_sweeps", 2)),
                 "prec_dtype": getattr(scfg, "coefmg_prec_dtype", ""),
+                # Barrier-aware knobs pass straight through to
+                # build_struct_coef_mg. Line relaxation along the sharded
+                # y axis becomes SLAB-LOCAL lines (a Schwarz-style block
+                # smoother, not a global y-line solve) - still convergent,
+                # just weaker across slab cuts. "auto" resolves to () here
+                # (no kinv at this call site); spell axes explicitly.
+                "line_axes": _parse_line_axes_compat(scfg, mesh),
+                "line_omega": getattr(scfg, "coefmg_line_omega", 1.0),
+                "coarsen": getattr(scfg, "coefmg_coarsen", "galerkin"),
             },
         )
         return cls(

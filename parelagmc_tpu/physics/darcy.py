@@ -109,7 +109,48 @@ def _assemble_sbar(mesh, kinv, ess_attr):
     return (B @ sp.diags(dinv) @ B.T).tocsr()
 
 
-def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
+def _parse_line_axes(spec: str, mesh, kinv) -> tuple:
+    """config.coefmg_line_axes -> mesh-axis tuple. Letters x/y/z name the
+    SOLVER mesh's axes (build_problem relabels the config string together
+    with axis_order, so user-facing letters stay physical). "auto" keeps
+    every axis whose kinv_ref-weighted mean face conductance (A / (h *
+    kinv_axis), the 2-point-flux transmissibility) is >= 3x the weakest
+    axis's mean - the same dominance rule as the static MG's line
+    detection (DarcySolverConfig.mg_line_smoother)."""
+    spec = (spec or "").strip().lower()
+    if not spec:
+        return ()
+    d = len(mesh.shape)
+    if spec == "auto":
+        if kinv is None:
+            return ()
+        means = []
+        for a in range(d):
+            h = np.diff(np.asarray(mesh.axes[a]))
+            vol = np.asarray(mesh.cell_volumes()).reshape(
+                tuple(int(n) for n in mesh.shape[::-1])
+            )
+            hg = h.reshape((1,) * (d - 1 - a) + (-1,) + (1,) * a)
+            area = vol / hg
+            cond = area / (
+                hg * np.asarray(kinv)[:, a].reshape(vol.shape)
+            )
+            means.append(float(cond.mean()))
+        lo = min(means)
+        return tuple(a for a in range(d) if means[a] >= 3.0 * lo)
+    letters = {"x": 0, "y": 1, "z": 2}
+    axes = []
+    for ch in spec:
+        if ch not in letters or letters[ch] >= d:
+            raise ValueError(
+                f"coefmg_line_axes {spec!r}: unknown axis {ch!r} for a "
+                f"{d}-D mesh (use letters from 'xyz'[:d] or 'auto')"
+            )
+        axes.append(letters[ch])
+    return tuple(axes)
+
+
+def _build_coef_mg_level(mesh, ess, dtype, solver_cfg, kinv=None):
     """Static structure for the per-sample Galerkin Schur MG; the sample's
     coefficient enters at solve time through the masked mass diagonal.
 
@@ -131,6 +172,11 @@ def _build_coef_mg_level(mesh, ess, dtype, solver_cfg):
             omega=getattr(solver_cfg, "coefmg_omega", 0.8),
             cheby_order=getattr(solver_cfg, "coefmg_cheby_order", 0),
             cheby_lo=getattr(solver_cfg, "coefmg_cheby_lo", 0.25),
+            line_axes=_parse_line_axes(
+                getattr(solver_cfg, "coefmg_line_axes", ""), mesh, kinv
+            ),
+            line_omega=getattr(solver_cfg, "coefmg_line_omega", 1.0),
+            coarsen=getattr(solver_cfg, "coefmg_coarsen", "galerkin"),
         )
     from parelagmc_tpu.ops.coef_multigrid import build_coef_mg
 
@@ -441,7 +487,8 @@ class DarcySolver:
                     ),
                     coef_mg=(
                         _build_coef_mg_level(
-                            lvl.mesh, ess, dtype, config.darcy_solver
+                            lvl.mesh, ess, dtype, config.darcy_solver,
+                            kinv=kinv_levels[l],
                         )
                         if config.darcy_solver.name == "cg-schur-coefmg"
                         else None
@@ -730,6 +777,13 @@ class DarcySolver:
             int(getattr(cfg, "restart_every", 50) or 0),
             getattr(cfg, "coefmg_prec_dtype", ""),
             int(getattr(cfg, "coefmg_cycles", 1)),
+            int(getattr(cfg, "coefmg_cheby_order", 0)),
+            float(getattr(cfg, "coefmg_cheby_lo", 0.25)),
+            int(getattr(cfg, "coefmg_sweeps", 2)),
+            float(getattr(cfg, "coefmg_omega", 0.8)),
+            getattr(cfg, "coefmg_line_axes", ""),
+            float(getattr(cfg, "coefmg_line_omega", 1.0)),
+            getattr(cfg, "coefmg_coarsen", "galerkin"),
         )
         if key not in self._spatial_cache:
             from parelagmc_tpu.parallel.spatial_darcy import SpatialDarcy
@@ -964,6 +1018,44 @@ class DarcySolver:
         Q = jnp.sum(p * L.obs_func[L.n_u:], axis=-1) + jnp.sum(
             u * L.obs_func[: L.n_u], axis=-1
         )
+        if getattr(self.solver_cfg, "adjoint_qoi", False):
+            # Goal-oriented correction (config.adjoint_qoi): with
+            # p* = S^{-1} rhs_s the exact solve, the QoI error is
+            #   Q(p*) - Q(p) = q_s^T S^{-1} r,   r = rhs_s - S p,
+            # where q_s = dQ/dp = c_p - B M(w)^{-1} c_u is the QoI
+            # functional reduced to pressure space (all three QoIs are
+            # linear in (u, p); the u-part folds through the exact M(w)
+            # inverse). Solving the ADJOINT system S lam = q_s (S is
+            # symmetric, so same operator and preconditioner state) and
+            # adding lam^T r leaves a remaining error
+            #   (lam* - lam)^T r <= ||lam* - lam||_S ||p* - p||_S,
+            # the product of the two solves' energy errors - loose rtols
+            # on both sides multiply into a deep-converged-grade QoI.
+            # (Reference analog: none - the reference brute-forces solver
+            # tolerance; at SPE10 contrast the flux QoI needs ~1e-7 true
+            # residuals, which f32 CG reaches only via ~171-iteration
+            # restarted solves. Measured full-scale: rtol 1e-4 primal +
+            # adjoint lands within ~0.1% of the rtol-1e-7 truth.)
+            cu = jnp.broadcast_to(L.obs_func[: L.n_u], batch + (L.n_u,))
+            q_s = L.obs_func[L.n_u:] - self._apply_B(L, Minv(cu))
+            lam, info_a = pcg(
+                apply_S,
+                q_s,
+                prec=prec,
+                max_iters=self.solver_cfg.max_iterations,
+                rtol=self.solver_cfg.relative_tolerance,
+                atol=self.solver_cfg.absolute_tolerance,
+                restart_every=self.solver_cfg.restart_every,
+            )
+            r_true = rhs_s - apply_S(p)
+            Q = Q + jnp.sum(lam * r_true, axis=-1)
+            from parelagmc_tpu.ops.solvers import SolveInfo
+
+            info = SolveInfo(
+                info.iterations + info_a.iterations,
+                jnp.maximum(info.residual, info_a.residual),
+                info.converged & info_a.converged,
+            )
         cost = float(L.n_u + L.n_s)
         if return_pressure:
             return Q, cost, info, -p

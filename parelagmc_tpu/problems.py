@@ -149,9 +149,23 @@ def _permute_config_axes(cfg: ProblemConfig, order) -> ProblemConfig:
     if obs and len(obs) % d == 0:
         pts = [obs[i : i + d] for i in range(0, len(obs), d)]
         obs = tuple(p[a] for p in pts for a in order)
+    # coefmg_line_axes letters name PHYSICAL axes; relabel them to the
+    # permuted mesh frame (physical axis p lives at new index
+    # order.index(p)). "auto"/"" pass through.
+    solver = cfg.darcy_solver
+    la = getattr(solver, "coefmg_line_axes", "")
+    if la and la != "auto":
+        letters = "xyz"[:d]
+        solver = dataclasses.replace(
+            solver,
+            coefmg_line_axes="".join(
+                letters[order.index(letters.index(c))] for c in la.lower()
+            ),
+        )
     return dataclasses.replace(
         cfg,
         axis_order=None,
+        darcy_solver=solver,
         ncells=pick(cfg.ncells),
         lengths=pick(cfg.lengths),
         n_buffer=pick(cfg.n_buffer),
