@@ -167,12 +167,18 @@ class SolverConfig:
     # solve the adjoint Schur system S(w) lam = q_s (q_s = c_p - B M(w)^{-1}
     # c_u, the QoI functional reduced to pressure space) and report
     # Q + lam^T r with r the primal solve's true residual. The remaining
-    # QoI error is the PRODUCT of the primal and adjoint residuals, so a
-    # loose rtol (1e-3..1e-4) yields deep-converged-grade QoIs: at SPE10's
-    # ~1e6 contrast the flux QoI error is ~1e5 x the true rel residual
-    # (CLAUDE.md r3 revised root cause), which brute rtol cannot
-    # economically reach in float32. Costs one extra Schur CG solve of the
-    # same system (same preconditioner state, shared setup).
+    # QoI error is the PRODUCT of the primal and adjoint energy errors -
+    # but that bound only bites when the preconditioner's energy error
+    # tracks the residual. Measured on the (30,110,42) half-scale
+    # synthetic SPE10 (f64, rtol 1e-4): with the barrier-aware coefMG
+    # (coefmg_cheby_order=3 + coefmg_line_axes + coefmg_coarsen=harmonic)
+    # the QoI error drops 2.5e-1 -> 7.0e-6 for ~2.4x the iterations;
+    # WITHOUT it the barrier modes keep both energy errors O(1) until the
+    # very end and the correction buys only ~1.4x. On the mild golden
+    # config the correction at the bench's fixed 50-iteration budget cut
+    # rmse 0.065 -> 0.028 at 2.1x cost (a wash - bench keeps it off).
+    # Costs one extra Schur CG solve of the same system (same
+    # preconditioner state, shared setup).
     adjoint_qoi: bool = False
     # Preconditioner-state dtype for cg-schur-coefmg: "" keeps the solve
     # dtype; "bfloat16" casts the per-sample V-cycle tables AND its

@@ -1030,12 +1030,14 @@ class DarcySolver:
             # adding lam^T r leaves a remaining error
             #   (lam* - lam)^T r <= ||lam* - lam||_S ||p* - p||_S,
             # the product of the two solves' energy errors - loose rtols
-            # on both sides multiply into a deep-converged-grade QoI.
-            # (Reference analog: none - the reference brute-forces solver
-            # tolerance; at SPE10 contrast the flux QoI needs ~1e-7 true
-            # residuals, which f32 CG reaches only via ~171-iteration
-            # restarted solves. Measured full-scale: rtol 1e-4 primal +
-            # adjoint lands within ~0.1% of the rtol-1e-7 truth.)
+            # on both sides multiply into a deep-converged-grade QoI
+            # PROVIDED the preconditioner's energy error tracks the
+            # residual (pair with the barrier-aware coefMG knobs; see
+            # config.adjoint_qoi for the measured composition: half-scale
+            # SPE10 rtol 1e-4 QoI error 2.5e-1 plain -> 7.0e-6 corrected).
+            # Reference analog: none - the reference brute-forces solver
+            # tolerance in f64; at SPE10 contrast the flux QoI error is
+            # ~1e5 x the true rel residual (CLAUDE.md r3 revised).
             cu = jnp.broadcast_to(L.obs_func[: L.n_u], batch + (L.n_u,))
             q_s = L.obs_func[L.n_u:] - self._apply_B(L, Minv(cu))
             lam, info_a = pcg(

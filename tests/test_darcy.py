@@ -324,3 +324,49 @@ def test_apply_b_stencil_matches_gather():
             np.asarray(s._apply_Bt(L, p)), np.asarray(s._apply_Bt(Lg, p)),
             atol=1e-12,
         )
+
+
+def test_adjoint_qoi_composes_with_barrier_aware_mg():
+    # Goal-oriented QoI correction (config.adjoint_qoi): with the
+    # barrier-aware coefMG (cheb3 + zy lines + harmonic coarse faces) the
+    # remaining QoI error is the PRODUCT of the primal and adjoint
+    # residuals. Measured at the (30,110,42) half-scale synthetic SPE10
+    # (CPU f64): rtol 1e-4 plain err 2.5e-1 -> adjoint err 7.0e-6.
+    # Without the barrier-aware preconditioner the correction is nearly
+    # useless (energy errors stay O(1) until the barrier modes resolve,
+    # measured gain 1.4x) - the two features compose.
+    import numpy as np
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+    from parelagmc_tpu.problems import build_problem
+
+    grid = (8, 28, 11)
+    kinv = load_spe10_kinv(None, ncells=grid)
+    s = None
+    out = {}
+    for rtol, adjoint in ((1e-12, False), (1e-4, False), (1e-4, True)):
+        cfg = ProblemConfig(
+            mesh="box", ncells=grid, lengths=(1200.0, 2200.0, 170.0),
+            refinements=0, batch_size=2, correlation_length=100.0,
+            normalize_marginals=True, dtype="float64",
+        )
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.max_iterations = 3000
+        cfg.darcy_solver.relative_tolerance = rtol
+        cfg.darcy_solver.adjoint_qoi = adjoint
+        cfg.darcy_solver.coefmg_cheby_order = 3
+        cfg.darcy_solver.coefmg_cheby_lo = 0.10
+        cfg.darcy_solver.coefmg_line_axes = "zy"
+        cfg.darcy_solver.coefmg_coarsen = "harmonic"
+        prob = build_problem(cfg, kinv_ref=kinv)
+        if s is None:
+            xi = prob.sampler.sample(0, jax.random.PRNGKey(0), 2)
+            s = np.asarray(prob.sampler.eval(0, xi))
+        q, _, info = prob.solver.solve_fwd(0, jnp.asarray(s))
+        out[(rtol, adjoint)] = np.asarray(q)
+    truth = out[(1e-12, False)]
+    e_plain = np.max(np.abs(out[(1e-4, False)] - truth) / np.abs(truth))
+    e_adj = np.max(np.abs(out[(1e-4, True)] - truth) / np.abs(truth))
+    assert e_adj < 1e-3, (e_plain, e_adj)
+    assert e_adj < 0.05 * e_plain, (e_plain, e_adj)
