@@ -44,6 +44,18 @@ def main():
     cfg.darcy_solver.relative_tolerance = 0.0  # force the full budget
     if "--prec-dtype" in argv:
         cfg.darcy_solver.coefmg_prec_dtype = argv[argv.index("--prec-dtype") + 1]
+    # Repeatable --solver-opt KEY=VALUE, same semantics as examples/common
+    # (prices the barrier-aware knobs: coefmg_line_axes, coefmg_coarsen,
+    # coefmg_cheby_order, ...).
+    for i, tok in enumerate(argv):
+        if tok == "--solver-opt":
+            key, _, val = argv[i + 1].partition("=")
+            cur = getattr(cfg.darcy_solver, key)
+            coerce = type(cur) if cur is not None else str
+            setattr(
+                cfg.darcy_solver, key,
+                val.lower() in ("1", "true") if coerce is bool else coerce(val),
+            )
     prob = build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=(60, 220, 85)))
     solver = prob.solver
     L = solver.levels[0]

@@ -127,10 +127,21 @@ def main(argv=None):
     # unpreconditioned on SPE10-contrast lognormal fields.
     # rtol 1e-5: a 1e-4 residual leaves the flux QoI ~6x wrong at SPE10
     # contrast (see CLAUDE.md r3 note); 1e-5 is within 0.06% of deep
-    # convergence and f32 reaches it with segmented restarts.
-    cfg.darcy_solver.max_iterations = 80
-    cfg.darcy_solver.relative_tolerance = 1e-5
-    cfg.darcy_solver.local_schur_scaling = True
+    # convergence and f32 reaches it with segmented restarts. (With
+    # --solver-opt adjoint_qoi=true the QoI error is the PRODUCT of the
+    # primal and adjoint residuals, so looser rtols become valid - these
+    # harness defaults yield to explicit --solver-opt overrides.)
+    user_opts = {
+        argv[i + 1].partition("=")[0]
+        for i, tok in enumerate(argv)
+        if tok == "--solver-opt"
+    }
+    if "max_iterations" not in user_opts:
+        cfg.darcy_solver.max_iterations = 80
+    if "relative_tolerance" not in user_opts:
+        cfg.darcy_solver.relative_tolerance = 1e-5
+    if "local_schur_scaling" not in user_opts:
+        cfg.darcy_solver.local_schur_scaling = True
     segments = 6
     kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
     prob = build_problem(cfg, kinv_ref=kinv)

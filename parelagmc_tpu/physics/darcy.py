@@ -704,7 +704,11 @@ class DarcySolver:
         )
 
     def solve_fwd(
-        self, level: int, w: jnp.ndarray, return_pressure: bool = False
+        self,
+        level: int,
+        w: jnp.ndarray,
+        return_pressure: bool = False,
+        return_adjoint: bool = False,
     ):
         """Solve the Darcy problem for a batch of coefficient fields w
         (shape (..., n_s)). Returns (Q, cost, info[, p]).
@@ -733,10 +737,22 @@ class DarcySolver:
         """
         L = self.levels[level]
         if self._use_spatial(level):
+            if getattr(self.solver_cfg, "adjoint_qoi", False):
+                raise NotImplementedError(
+                    "adjoint_qoi is not wired into the spatially-sharded "
+                    "solver yet (parallel/spatial_darcy.py); disable one"
+                )
             return self._solve_spatial(level, w, return_pressure)
         if self.solver_cfg.name == "minres-bj":
+            if getattr(self.solver_cfg, "adjoint_qoi", False):
+                raise NotImplementedError(
+                    "adjoint_qoi applies to the cg-schur solver family"
+                )
             return self._solve_minres(L, w, return_pressure)
-        return self._solve_cg_schur(L, w, return_pressure)
+        return self._solve_cg_schur(
+            L, w, return_pressure,
+            return_adjoint=return_adjoint,
+        )
 
     # -- spatial domain decomposition (config spatial_shards) ------------------
     def _use_spatial(self, level: int) -> bool:
@@ -813,6 +829,17 @@ class DarcySolver:
             return q, cost, info, out[3]
         return q, cost, info
 
+    def adjoint_pair_enabled(self, level: int) -> bool:
+        """Can the MLMC pair at this level run the adjoint-corrected QoI
+        (config.adjoint_qoi) with the coarse adjoint warm-starting the fine
+        one? False for the minres-bj family and for spatially-sharded
+        levels (the slab solver has no adjoint path yet). Public so the
+        managers' split-step builder can thread lambda between bounded
+        executions exactly like the pressure."""
+        return bool(getattr(self.solver_cfg, "adjoint_qoi", False)) and not (
+            self._use_spatial(level) or self.solver_cfg.name == "minres-bj"
+        )
+
     def solve_fwd_pair(self, level: int, w_f: jnp.ndarray, w_c: jnp.ndarray):
         """Coupled (fine, coarse) pair solve for one MLMC correction sample:
         solve level+1 first, then warm-start the level solve from the
@@ -820,6 +847,15 @@ class DarcySolver:
         Eval with initial guess (src/MLMC_Manager.cpp:150-156,
         src/PDESampler.cpp:451-516: SetInitialIterate of the prolongated
         solution). Returns (q_fine, q_coarse, info_fine, info_coarse)."""
+        if self.adjoint_pair_enabled(level):
+            # The coarse adjoint warm-starts the fine adjoint exactly like
+            # the pressure (same P0 parent-take prolongation): both CG
+            # solves of the corrected pair start near their solutions.
+            qc, _, info_c, p_c, lam_c = self.solve_fwd(
+                level + 1, w_c, return_pressure=True, return_adjoint=True
+            )
+            q, _, info_f = self.solve_fwd_warm(level, w_f, p_c, lam_c=lam_c)
+            return q, qc, info_f, info_c
         qc, _, info_c, p_c = self.solve_fwd(level + 1, w_c, return_pressure=True)
         q, _, info_f = self.solve_fwd_warm(level, w_f, p_c)
         return q, qc, info_f, info_c
@@ -830,6 +866,8 @@ class DarcySolver:
         w: jnp.ndarray,
         p_coarse: jnp.ndarray,
         return_pressure: bool = False,
+        lam_c: Optional[jnp.ndarray] = None,
+        return_adjoint: bool = False,
     ):
         """Fine solve warm-started from the level+1 physical pressure (as
         returned by solve_fwd(..., return_pressure=True)). Exposed
@@ -845,8 +883,14 @@ class DarcySolver:
             return self._solve_spatial(level, w, return_pressure, p0=p0)
         if self.solver_cfg.name == "minres-bj":
             return self.solve_fwd(level, w, return_pressure=return_pressure)
+        lam0 = (
+            jnp.take(lam_c, self._parent_dev[level], axis=-1)
+            if lam_c is not None
+            else None
+        )
         return self._solve_cg_schur(
-            self.levels[level], w, return_pressure=return_pressure, x0=p0
+            self.levels[level], w, return_pressure=return_pressure, x0=p0,
+            lam0=lam0, return_adjoint=return_adjoint,
         )
 
     def solve_fwd_x0(
@@ -855,6 +899,8 @@ class DarcySolver:
         w: jnp.ndarray,
         p0: jnp.ndarray,
         return_pressure: bool = False,
+        lam0: Optional[jnp.ndarray] = None,
+        return_adjoint: bool = False,
     ):
         """Continue/restart the level solve from a SAME-level physical
         pressure iterate (as returned with return_pressure=True). Segment
@@ -869,7 +915,8 @@ class DarcySolver:
         if self.solver_cfg.name == "minres-bj":
             return self.solve_fwd(level, w, return_pressure=return_pressure)
         return self._solve_cg_schur(
-            self.levels[level], w, return_pressure=return_pressure, x0=p0
+            self.levels[level], w, return_pressure=return_pressure, x0=p0,
+            lam0=lam0, return_adjoint=return_adjoint,
         )
 
     def _solve_cg_schur(
@@ -878,6 +925,8 @@ class DarcySolver:
         w: jnp.ndarray,
         return_pressure: bool,
         x0: Optional[jnp.ndarray] = None,
+        lam0: Optional[jnp.ndarray] = None,
+        return_adjoint: bool = False,
     ):
         batch = w.shape[:-1]
         f = jnp.broadcast_to(L.rhs[: L.n_u], batch + (L.n_u,))
@@ -1044,6 +1093,7 @@ class DarcySolver:
                 apply_S,
                 q_s,
                 prec=prec,
+                x0=lam0,  # MLMC pairs warm-start from the coarse adjoint
                 max_iters=self.solver_cfg.max_iterations,
                 rtol=self.solver_cfg.relative_tolerance,
                 atol=self.solver_cfg.absolute_tolerance,
@@ -1059,6 +1109,10 @@ class DarcySolver:
                 info.converged & info_a.converged,
             )
         cost = float(L.n_u + L.n_s)
+        if return_adjoint:
+            if not getattr(self.solver_cfg, "adjoint_qoi", False):
+                raise ValueError("return_adjoint requires config.adjoint_qoi")
+            return Q, cost, info, -p, lam
         if return_pressure:
             return Q, cost, info, -p
         return Q, cost, info

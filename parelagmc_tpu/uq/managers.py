@@ -257,46 +257,73 @@ class MLMCManager:
         from parelagmc_tpu.ops.jit_utils import jit_hoisted
 
         sampler, solver = self.sampler, self.solver
+        # With config.adjoint_qoi the adjoint iterate lambda threads between
+        # the bounded executions exactly like the pressure: the coarse
+        # adjoint warm-starts the fine one, and each continuation segment
+        # restarts BOTH Krylov solves from their previous iterates (without
+        # this, every segment would re-run the adjoint from zero).
+        adjoint = bool(
+            getattr(solver, "adjoint_pair_enabled", lambda lvl: False)(level)
+        )
 
         def stage1(key):
             xi = sampler.sample(level, key, batch)
             s_f, s_c = eval_fields(xi)
+            if adjoint:
+                qc, _, info_c, p_c, lam_c = solver.solve_fwd(
+                    level + 1, s_c, return_pressure=True, return_adjoint=True
+                )
+                return s_f, p_c, lam_c, qc, info_c.iterations
             qc, _, info_c, p_c = solver.solve_fwd(
                 level + 1, s_c, return_pressure=True
             )
-            return s_f, p_c, qc, info_c.iterations
+            return s_f, p_c, None, qc, info_c.iterations
 
-        def stage2(s_f, p_c):
+        def stage2(s_f, p_c, lam_c):
+            if adjoint:
+                q, _, info_f, p, lam = solver.solve_fwd_warm(
+                    level, s_f, p_c, return_pressure=True,
+                    lam_c=lam_c, return_adjoint=True,
+                )
+                return q, info_f.iterations, info_f.converged, p, lam
             q, _, info_f, p = solver.solve_fwd_warm(
                 level, s_f, p_c, return_pressure=True
             )
-            return q, info_f.iterations, info_f.converged, p
+            return q, info_f.iterations, info_f.converged, p, None
 
-        def stage_cont(s_f, p_prev):
+        def stage_cont(s_f, p_prev, lam_prev):
+            if adjoint:
+                q, _, info_f, p, lam = solver.solve_fwd_x0(
+                    level, s_f, p_prev, return_pressure=True,
+                    lam0=lam_prev, return_adjoint=True,
+                )
+                return q, info_f.iterations, info_f.converged, p, lam
             q, _, info_f, p = solver.solve_fwd_x0(
                 level, s_f, p_prev, return_pressure=True
             )
-            return q, info_f.iterations, info_f.converged, p
+            return q, info_f.iterations, info_f.converged, p, None
 
         segments = max(1, int(getattr(self.config, "solve_segments", 1)))
         j1 = jit_hoisted(stage1, self._key)
         dtype = getattr(solver, "dtype", jnp.float32)
         ex_sf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
         ex_pc = jax.ShapeDtypeStruct((batch, solver.levels[level + 1].n_s), dtype)
-        j2 = jit_hoisted(stage2, ex_sf, ex_pc)
+        ex_lc = ex_pc if adjoint else None
+        j2 = jit_hoisted(stage2, ex_sf, ex_pc, ex_lc)
         ex_pf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
-        j3 = jit_hoisted(stage_cont, ex_sf, ex_pf) if segments > 1 else None
+        ex_lf = ex_pf if adjoint else None
+        j3 = jit_hoisted(stage_cont, ex_sf, ex_pf, ex_lf) if segments > 1 else None
 
         def step(key):
-            s_f, p_c, qc, it_c = j1(key)
-            q, it_f, conv, p = j2(s_f, p_c)
+            s_f, p_c, lam_c, qc, it_c = j1(key)
+            q, it_f, conv, p, lam = j2(s_f, p_c, lam_c)
             iters = it_f + it_c
             for _ in range(segments - 1):
                 # Host-side convergence check between bounded executions
                 # (one int fetch; negligible vs the solve itself).
                 if bool(np.asarray(conv).all()):
                     break
-                q, it_f, conv, p = j3(s_f, p)
+                q, it_f, conv, p, lam = j3(s_f, p, lam)
                 iters = iters + it_f
             return q, qc, jnp_broadcast_iters(iters, batch)
 

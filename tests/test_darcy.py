@@ -370,3 +370,56 @@ def test_adjoint_qoi_composes_with_barrier_aware_mg():
     e_adj = np.max(np.abs(out[(1e-4, True)] - truth) / np.abs(truth))
     assert e_adj < 1e-3, (e_plain, e_adj)
     assert e_adj < 0.05 * e_plain, (e_plain, e_adj)
+
+
+def test_adjoint_qoi_pair_correction_variable():
+    # MLMC correction variable Y = Q_f - Q_c through solve_fwd_pair with
+    # config.adjoint_qoi: the coarse adjoint warm-starts the fine adjoint
+    # (same P0 parent-take prolongation as the pressure). Measured on the
+    # (16,56,22) synthetic-SPE10 pair (CPU f64, PRNGKey(0), batch 2):
+    # rtol 1e-4 adjoint Y error 2.0e-3 at 7 fine iterations, vs 1.8-5.5
+    # (O(1)!) plain at the same rtol and still 0.21-0.25 at plain 1e-6 -
+    # the pair difference amplifies the per-level QoI noise, so rate
+    # evidence (alpha/beta) is garbage without the correction.
+    import numpy as np
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+    from parelagmc_tpu.problems import build_problem
+
+    grid = (8, 28, 11)
+    kinv = load_spe10_kinv(None, ncells=(16, 56, 22))
+
+    def build(adjoint, rtol):
+        cfg = ProblemConfig(
+            mesh="box", ncells=grid, lengths=(1200.0, 2200.0, 170.0),
+            refinements=1, batch_size=2, correlation_length=100.0,
+            normalize_marginals=True, dtype="float64",
+        )
+        cfg.darcy_solver.name = "cg-schur-coefmg"
+        cfg.darcy_solver.max_iterations = 3000
+        cfg.darcy_solver.relative_tolerance = rtol
+        cfg.darcy_solver.adjoint_qoi = adjoint
+        cfg.darcy_solver.coefmg_cheby_order = 3
+        cfg.darcy_solver.coefmg_cheby_lo = 0.10
+        cfg.darcy_solver.coefmg_line_axes = "zy"
+        cfg.darcy_solver.coefmg_coarsen = "harmonic"
+        return build_problem(cfg, kinv_ref=kinv)
+
+    p0 = build(False, 1e-12)
+    xi = p0.sampler.sample(0, jax.random.PRNGKey(0), 2)
+    sf = jnp.asarray(np.asarray(p0.sampler.eval(0, xi)))
+    sc = jnp.asarray(np.asarray(p0.sampler.eval(1, xi, xi_level=0)))
+    qT, qcT, _, _ = p0.solver.solve_fwd_pair(0, sf, sc)
+    y_true = np.asarray(qT) - np.asarray(qcT)
+
+    errs = {}
+    for adjoint in (True, False):
+        prob = build(adjoint, 1e-4)
+        q, qc, info_f, info_c = prob.solver.solve_fwd_pair(0, sf, sc)
+        assert bool(np.asarray(info_f.converged).all())
+        assert bool(np.asarray(info_c.converged).all())
+        y = np.asarray(q) - np.asarray(qc)
+        errs[adjoint] = np.max(np.abs(y - y_true) / np.abs(y_true))
+    assert errs[True] < 2e-2, errs
+    assert errs[True] < 0.05 * errs[False], errs

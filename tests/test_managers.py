@@ -112,6 +112,35 @@ def test_split_pair_programs_identical(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
 
 
+def test_split_pair_adjoint_threads_lambda(tmp_path):
+    """With config.adjoint_qoi, the split/segmented pair step threads the
+    adjoint iterate between bounded executions (coarse lambda warm-starts
+    the fine one; continuation segments restart BOTH solves). Statistics
+    must match the composed solve_fwd_pair path at the same seed, and the
+    corrected estimates must agree with the plain deep-converged path."""
+    TimeManager.reset()
+    results = {}
+    for split, segments in ((False, 1), (True, 1), (True, 4)):
+        hier, sampler, solver, cfg = build_problem(
+            tmp_path=tmp_path, seed=7, split_pair_programs=split,
+            solve_segments=segments,
+        )
+        cfg.darcy_solver.adjoint_qoi = True
+        if segments > 1:
+            # Per-segment budget below the ~54-iteration warm fine solve so
+            # the continuation program (threaded p AND lambda restart)
+            # actually executes; 4 segments leave convergence headroom.
+            cfg.darcy_solver.max_iterations = 40
+        assert solver.adjoint_pair_enabled(0)
+        mgr = MLMCManager(solver, sampler, cfg)
+        mgr.init_run([8, 8, 8])
+        results[(split, segments)] = (mgr.eY.copy(), mgr.eQ.copy())
+        mgr.close()
+    for key in ((True, 1), (True, 4)):
+        for a, b in zip(results[(False, 1)], results[key]):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
+
+
 def test_batch_size_per_level(tmp_path):
     """Per-level batch sizes: finest level HBM-bound, coarse levels large
     (the SPE10-scale configuration). Sample counts round up to whole
