@@ -90,8 +90,20 @@ def main(argv=None):
         cfg.split_pair_programs = True
         cfg.solve_segments = 4
         cfg.darcy_solver.name = "cg-schur-coefmg"
-        cfg.darcy_solver.max_iterations = 150
-        cfg.darcy_solver.relative_tolerance = 1e-6
+        # Full-grid duration-guard defaults yield to explicit --solver-opt
+        # overrides (e.g. --solver-opt adjoint_qoi=true --solver-opt
+        # relative_tolerance=1e-4: the adjoint-corrected QoI's error is the
+        # PRODUCT of the primal and adjoint residuals, so loose rtols stay
+        # QoI-valid; see examples/spe10_adjoint_check.py).
+        user_opts = {
+            argv[i + 1].partition("=")[0]
+            for i, tok in enumerate(argv)
+            if tok == "--solver-opt"
+        }
+        if "max_iterations" not in user_opts:
+            cfg.darcy_solver.max_iterations = 150
+        if "relative_tolerance" not in user_opts:
+            cfg.darcy_solver.relative_tolerance = 1e-6
         # HBM-bound finest batch, throughput-sized coarse batches (16G
         # v5e; the full grid's finest level is 4.5M Darcy dofs at any
         # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
