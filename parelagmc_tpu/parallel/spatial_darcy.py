@@ -761,39 +761,10 @@ class SpatialDarcy:
         )
 
     # -- the sharded solve ------------------------------------------------------
-    def _local_solve(self, g: _Grids, w: jnp.ndarray, x0t=None):
-        """Inside shard_map: w is the local (batch, nz, m, nx) coefficient
-        block; x0t an optional warm-start pressure grid in the internal
-        p~ = -p convention (already sliced per shard). Returns
-        (Q, iterations, rnorm, p~ grid)."""
-        axis, n_sp = self.axis, self.n_sp
-        w = jnp.where(g.pad_cell, 1.0, w)
-        w_dn = self._halo_up(w[..., -1:, :])
-        blo_y = self._halo_up(g.brr[1][..., -1:, :])
-        bmid_y = self._halo_up(g.blr[1][..., -1:, :])
-
-        mfac = self._minv_factor(g, w, w_dn, blo_y, bmid_y)
-        minv = lambda r: self._minv_apply(mfac, r)
-        f = tuple(
-            jnp.broadcast_to(v, w.shape[:-3] + v.shape) for v in g.rhs_u
-        )
-        rhs_s = self._apply_b(g, minv(f)) - g.rhs_p
-
-        def vdot(a, b):
-            return jax.lax.psum(
-                jnp.sum(a * b, axis=(-1, -2, -3)), axis
-            )
-
-        apply_S = lambda p: self._apply_b(g, minv(self._apply_bt(g, p)))
-        if self.precond == "coefmg":
-            mg_state = self._slab_mg_state(g, w, w_dn, blo_y)
-            prec = lambda r: self._slab_mg_apply(mg_state, r)
-        else:
-            # Jacobi on diag(S_bar), scaled by the sample's local amplitude
-            # (sqrt(w) symmetric scaling, cf. darcy local_schur_scaling).
-            sw = jnp.sqrt(w)
-            prec = lambda r: sw * (r / g.sdiag) * sw
-
+    def _run_cg(self, g: _Grids, apply_S, prec, vdot, rhs_s, x0t=None):
+        """Preconditioned CG on the sharded Schur grids, SPMD-safe across
+        the (dp, sp) mesh (uniform while_loop exit; see any_active).
+        Returns (x, iterations, rnorm, bnorm)."""
         if x0t is None:
             x = jnp.zeros_like(rhs_s)
             r = rhs_s
@@ -860,6 +831,46 @@ class SpatialDarcy:
         it, x, r, p, rz, rn, _ = jax.lax.while_loop(
             cond, body, (it0, x, r, p, rz, rn0, any_active(rn0))
         )
+        return x, it, rn, bn
+
+    def _local_solve(
+        self, g: _Grids, w: jnp.ndarray, x0t=None, lam0t=None, adjoint=False
+    ):
+        """Inside shard_map: w is the local (batch, nz, m, nx) coefficient
+        block; x0t an optional warm-start pressure grid in the internal
+        p~ = -p convention (already sliced per shard); lam0t an optional
+        adjoint warm start (no sign flip). Returns
+        (Q, iterations, rnorm, p~ grid[, lambda grid])."""
+        w = jnp.where(g.pad_cell, 1.0, w)
+        w_dn = self._halo_up(w[..., -1:, :])
+        blo_y = self._halo_up(g.brr[1][..., -1:, :])
+        bmid_y = self._halo_up(g.blr[1][..., -1:, :])
+
+        mfac = self._minv_factor(g, w, w_dn, blo_y, bmid_y)
+        minv = lambda r: self._minv_apply(mfac, r)
+        f = tuple(
+            jnp.broadcast_to(v, w.shape[:-3] + v.shape) for v in g.rhs_u
+        )
+        rhs_s = self._apply_b(g, minv(f)) - g.rhs_p
+
+        axis = self.axis
+
+        def vdot(a, b):
+            return jax.lax.psum(
+                jnp.sum(a * b, axis=(-1, -2, -3)), axis
+            )
+
+        apply_S = lambda p: self._apply_b(g, minv(self._apply_bt(g, p)))
+        if self.precond == "coefmg":
+            mg_state = self._slab_mg_state(g, w, w_dn, blo_y)
+            prec = lambda r: self._slab_mg_apply(mg_state, r)
+        else:
+            # Jacobi on diag(S_bar), scaled by the sample's local amplitude
+            # (sqrt(w) symmetric scaling, cf. darcy local_schur_scaling).
+            sw = jnp.sqrt(w)
+            prec = lambda r: sw * (r / g.sdiag) * sw
+
+        x, it, rn, bn = self._run_cg(g, apply_S, prec, vdot, rhs_s, x0t)
         # Velocity and QoI (p~ = -p convention matches the unsharded path:
         # rhs_s was built as B Minv f - g for the system S p~ = rhs_s).
         bt = self._apply_bt(g, x)
@@ -867,10 +878,34 @@ class SpatialDarcy:
         q = vdot(x, jnp.broadcast_to(g.obs_p, x.shape))
         for ua, oa in zip(u, g.obs_u):
             q = q + vdot(ua, jnp.broadcast_to(oa, ua.shape))
+        rel = rn / jnp.where(bn == 0, 1.0, bn)
+        lam = None
+        if adjoint:
+            # Goal-oriented correction, the sharded mirror of
+            # DarcySolver._solve_cg_schur's config.adjoint_qoi path:
+            # q_s = dQ/dp~ = obs_p - B M(w)^{-1} obs_u; solve the (same,
+            # symmetric) Schur system S lam = q_s and add lam^T r_true.
+            # The remaining QoI error is the PRODUCT of the two solves'
+            # energy errors.
+            cu = tuple(
+                jnp.broadcast_to(v, w.shape[:-3] + v.shape) for v in g.obs_u
+            )
+            q_s = jnp.broadcast_to(
+                g.obs_p, rhs_s.shape
+            ) - self._apply_b(g, minv(cu))
+            lam, it_a, rn_a, bn_a = self._run_cg(
+                g, apply_S, prec, vdot, q_s, lam0t
+            )
+            r_true = rhs_s - apply_S(x)
+            q = q + vdot(lam, r_true)
+            it = it + it_a
+            rel = jnp.maximum(rel, rn_a / jnp.where(bn_a == 0, 1.0, bn_a))
         # Iterations broadcast to the batch so every output is uniformly
         # dp-sharded when a sample axis is present.
         it_b = jnp.broadcast_to(it, q.shape)
-        return q, it_b, rn / jnp.where(bn == 0, 1.0, bn), x
+        if adjoint:
+            return q, it_b, rel, x, lam
+        return q, it_b, rel, x
 
     def _to_grid(self, v: jnp.ndarray, pad_value: float) -> jnp.ndarray:
         """(batch, n_s) flat cell field -> padded (batch, nz, ny_pad, nx)."""
@@ -894,18 +929,25 @@ class SpatialDarcy:
         w: jnp.ndarray,
         p0: Optional[jnp.ndarray] = None,
         return_pressure: bool = False,
+        lam0: Optional[jnp.ndarray] = None,
+        adjoint: bool = False,
     ):
         """Solve for a batch of coefficient fields (batch, n_s) given in
-        the UNSHARDED flat cell order; returns (Q, iterations, relres[, p])
-        with iterations broadcast to the batch and p the physical cell
-        pressure (flat, unsharded order) when requested. p0 optionally
-        warm-starts CG from a physical pressure on the SAME level (e.g.
-        the prolongated coarse pressure of an MLMC pair - the spatial
-        analog of DarcySolver.solve_fwd_warm). The per-shard HBM footprint
-        of all solver state is ~1/n_sp of the unsharded solve's; with
-        n_dp > 1 the batch additionally shards over the sample axis."""
+        the UNSHARDED flat cell order; returns (Q, iterations,
+        relres[, p][, lam]) with iterations broadcast to the batch and p
+        the physical cell pressure (flat, unsharded order) when requested.
+        p0 optionally warm-starts CG from a physical pressure on the SAME
+        level (e.g. the prolongated coarse pressure of an MLMC pair - the
+        spatial analog of DarcySolver.solve_fwd_warm); with adjoint=True
+        the QoI is goal-oriented-corrected (config.adjoint_qoi) and lam0
+        optionally warm-starts the adjoint solve (lam returned after p).
+        The per-shard HBM footprint of all solver state is ~1/n_sp of the
+        unsharded solve's; with n_dp > 1 the batch additionally shards
+        over the sample axis."""
         from jax import shard_map
 
+        if lam0 is not None and not adjoint:
+            raise ValueError("lam0 requires adjoint=True")
         nx, ny, nz = self.shape
         batch = w.shape[:-1]
         wg = self._to_grid(w, 1.0)
@@ -914,8 +956,10 @@ class SpatialDarcy:
                 f"leading batch dim must be a multiple of n_dp={self.n_dp}"
             )
         x0g = None if p0 is None else self._to_grid(-p0, 0.0)  # p~ = -p
+        lam0g = None if lam0 is None else self._to_grid(lam0, 0.0)
 
-        key = (len(batch), p0 is not None, return_pressure)
+        key = (len(batch), p0 is not None, return_pressure,
+               adjoint, lam0 is not None)
         if key not in self._jit_solve:
             axis = self.axis
             spec_y = {
@@ -940,38 +984,44 @@ class SpatialDarcy:
             out_spec = (b_out, b_out, b_out)
             if return_pressure:
                 out_spec = out_spec + (w_spec,)
+                if adjoint:
+                    out_spec = out_spec + (w_spec,)
 
-            def run(g, wloc, x0loc):
-                q, it, rel, x = self._local_solve(g, wloc, x0loc)
+            have_x0, have_l0 = p0 is not None, lam0 is not None
+
+            def run(g, wloc, *opts):
+                x0loc = opts[0] if have_x0 else None
+                lam0loc = opts[-1] if have_l0 else None
+                out = self._local_solve(
+                    g, wloc, x0loc, lam0loc, adjoint=adjoint
+                )
                 if return_pressure:
-                    return q, it, rel, x
-                return q, it, rel
+                    return out[: 5 if adjoint else 4]
+                return out[:3]
 
-            if p0 is None:
-                sharded_nox0 = shard_map(
-                    lambda g, wl: run(g, wl, None),
-                    mesh=self.mesh_dev,
-                    in_specs=(g_spec, w_spec),
-                    out_specs=out_spec,
-                    check_vma=False,
-                )
-
-                def wrapped(g, wl, x0_unused=None):
-                    return sharded_nox0(g, wl)
-
-                self._jit_solve[key] = jax.jit(wrapped)
-            else:
-                sharded = shard_map(
-                    run,
-                    mesh=self.mesh_dev,
-                    in_specs=(g_spec, w_spec, w_spec),
-                    out_specs=out_spec,
-                    check_vma=False,
-                )
-                self._jit_solve[key] = jax.jit(sharded)
-        out = self._jit_solve[key](self.grids, wg, x0g)
+            in_specs = (g_spec, w_spec) + (w_spec,) * (
+                int(have_x0) + int(have_l0)
+            )
+            sharded = shard_map(
+                run,
+                mesh=self.mesh_dev,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                check_vma=False,
+            )
+            self._jit_solve[key] = jax.jit(sharded)
+        args = (self.grids, wg)
+        args += (x0g,) if p0 is not None else ()
+        args += (lam0g,) if lam0 is not None else ()
+        out = self._jit_solve[key](*args)
         if not return_pressure:
             return out
-        q, it, rel, xg = out
+        if adjoint:
+            q, it, rel, xg, lamg = out
+            lam = lamg[..., :, :ny, :].reshape(batch + (self.n_s,))
+        else:
+            q, it, rel, xg = out
         p = (-xg)[..., :, :ny, :].reshape(batch + (self.n_s,))
+        if adjoint:
+            return q, it, rel, p, lam
         return q, it, rel, p

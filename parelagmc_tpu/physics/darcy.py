@@ -737,12 +737,9 @@ class DarcySolver:
         """
         L = self.levels[level]
         if self._use_spatial(level):
-            if getattr(self.solver_cfg, "adjoint_qoi", False):
-                raise NotImplementedError(
-                    "adjoint_qoi is not wired into the spatially-sharded "
-                    "solver yet (parallel/spatial_darcy.py); disable one"
-                )
-            return self._solve_spatial(level, w, return_pressure)
+            return self._solve_spatial(
+                level, w, return_pressure, return_adjoint=return_adjoint
+            )
         if self.solver_cfg.name == "minres-bj":
             if getattr(self.solver_cfg, "adjoint_qoi", False):
                 raise NotImplementedError(
@@ -813,18 +810,36 @@ class DarcySolver:
         return self._spatial_cache[key]
 
     def _solve_spatial(
-        self, level: int, w: jnp.ndarray, return_pressure: bool, p0=None
+        self,
+        level: int,
+        w: jnp.ndarray,
+        return_pressure: bool,
+        p0=None,
+        lam0=None,
+        return_adjoint: bool = False,
     ):
         from parelagmc_tpu.ops.solvers import SolveInfo
 
+        adjoint = bool(getattr(self.solver_cfg, "adjoint_qoi", False))
+        if return_adjoint and not adjoint:
+            raise ValueError("return_adjoint requires config.adjoint_qoi")
         sp = self._spatial(level)
-        out = sp.solve_fwd(w, p0=p0, return_pressure=return_pressure)
+        out = sp.solve_fwd(
+            w,
+            p0=p0,
+            return_pressure=return_pressure or return_adjoint,
+            lam0=lam0,
+            adjoint=adjoint,
+        )
         q, it, rel = out[:3]
         # rel = |r|/|b| from the sharded CG; the loop exits at
         # rel <= rtol, so the tiny multiplicative slack only absorbs the
-        # division's rounding.
+        # division's rounding. With adjoint, rel is the max of the primal
+        # and adjoint solves and `it` their sum (cf. _solve_cg_schur).
         info = SolveInfo(jnp.max(it), rel, rel <= sp.rtol * (1 + 1e-6))
         cost = float(self.num_dofs(level))
+        if return_adjoint:
+            return q, cost, info, out[3], out[4]
         if return_pressure:
             return q, cost, info, out[3]
         return q, cost, info
@@ -832,12 +847,15 @@ class DarcySolver:
     def adjoint_pair_enabled(self, level: int) -> bool:
         """Can the MLMC pair at this level run the adjoint-corrected QoI
         (config.adjoint_qoi) with the coarse adjoint warm-starting the fine
-        one? False for the minres-bj family and for spatially-sharded
-        levels (the slab solver has no adjoint path yet). Public so the
-        managers' split-step builder can thread lambda between bounded
-        executions exactly like the pressure."""
-        return bool(getattr(self.solver_cfg, "adjoint_qoi", False)) and not (
-            self._use_spatial(level) or self.solver_cfg.name == "minres-bj"
+        one? False for the minres-bj family (full-saddle MINRES has no
+        Schur adjoint path); the cg-schur family supports it replicated AND
+        spatially sharded (parallel/spatial_darcy.py runs the second CG
+        inside the same shard_map). Public so the managers' split-step
+        builder can thread lambda between bounded executions exactly like
+        the pressure."""
+        return (
+            bool(getattr(self.solver_cfg, "adjoint_qoi", False))
+            and self.solver_cfg.name != "minres-bj"
         )
 
     def solve_fwd_pair(self, level: int, w_f: jnp.ndarray, w_c: jnp.ndarray):
@@ -879,15 +897,18 @@ class DarcySolver:
         # (exact piecewise-constant embedding); _solve_cg_schur converts to
         # its internal p~ = -p convention.
         p0 = jnp.take(p_coarse, self._parent_dev[level], axis=-1)
-        if self._use_spatial(level):
-            return self._solve_spatial(level, w, return_pressure, p0=p0)
-        if self.solver_cfg.name == "minres-bj":
-            return self.solve_fwd(level, w, return_pressure=return_pressure)
         lam0 = (
             jnp.take(lam_c, self._parent_dev[level], axis=-1)
             if lam_c is not None
             else None
         )
+        if self._use_spatial(level):
+            return self._solve_spatial(
+                level, w, return_pressure, p0=p0, lam0=lam0,
+                return_adjoint=return_adjoint,
+            )
+        if self.solver_cfg.name == "minres-bj":
+            return self.solve_fwd(level, w, return_pressure=return_pressure)
         return self._solve_cg_schur(
             self.levels[level], w, return_pressure=return_pressure, x0=p0,
             lam0=lam0, return_adjoint=return_adjoint,
@@ -911,7 +932,10 @@ class DarcySolver:
         CG restarts at segment boundaries cost little: float32 runs
         restart the direction every restart_every iterations anyway."""
         if self._use_spatial(level):
-            return self._solve_spatial(level, w, return_pressure, p0=p0)
+            return self._solve_spatial(
+                level, w, return_pressure, p0=p0, lam0=lam0,
+                return_adjoint=return_adjoint,
+            )
         if self.solver_cfg.name == "minres-bj":
             return self.solve_fwd(level, w, return_pressure=return_pressure)
         return self._solve_cg_schur(

@@ -302,3 +302,77 @@ def test_mlmc_with_spatial_sharding():
     est_sp, ey_sp = run(True)
     np.testing.assert_allclose(est_sp, est_ref, rtol=1e-6)
     np.testing.assert_allclose(ey_sp, ey_ref, rtol=1e-5, atol=1e-9)
+
+
+def test_spatial_adjoint_corrected_qoi():
+    """adjoint=True on the sharded solve mirrors DarcySolver's
+    config.adjoint_qoi (the second CG runs INSIDE the same shard_map):
+    at loose rtol the corrected Q must land near the deep-converged truth
+    (error ~ product of the primal/adjoint energy errors) where the plain
+    loose solve carries the full contrast-amplified residual error. Also
+    exercises the (p0, lam0) warm path and the 5-tuple return."""
+    hier, solver = _build((6, 16, 5), kinv_contrast=200.0)
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.7))
+    q_true = np.asarray(solver.solve_fwd(0, w)[0])  # replicated, rtol 1e-9
+
+    solver.solver_cfg.relative_tolerance = 1e-3
+    sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
+    q_plain = np.asarray(sp.solve_fwd(w)[0])
+    q_adj, it, rel, p, lam = sp.solve_fwd(
+        w, adjoint=True, return_pressure=True
+    )
+    e_plain = np.max(np.abs(q_plain - q_true) / np.abs(q_true))
+    e_adj = np.max(np.abs(np.asarray(q_adj) - q_true) / np.abs(q_true))
+    # Measured: e_plain 3.4e-3, e_adj 9.1e-5 (38x) at rtol 1e-3 on this
+    # fixed stream; the product bound is loose because the slab-Jacobi
+    # preconditioner's energy error tracks the residual only to a factor.
+    assert e_adj < 3e-4, (e_plain, e_adj)
+    assert e_adj < 0.05 * e_plain, (e_plain, e_adj)
+    # Warm restart from the converged (p, lam): both loops exit at once.
+    q2, it2 = sp.solve_fwd(
+        w, p0=p, lam0=lam, adjoint=True, return_pressure=True
+    )[:2]
+    assert int(np.max(np.asarray(it2))) == 0
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q_adj), rtol=1e-9)
+    with pytest.raises(ValueError, match="lam0 requires"):
+        sp.solve_fwd(w, lam0=lam)
+
+
+def test_mlmc_spatial_adjoint_pair():
+    """End-to-end MLMC pair with BOTH spatial sharding and adjoint_qoi:
+    solve_fwd_pair solves the replicated coarse level with the adjoint,
+    prolongates (p_c, lam_c), and the spatially-sharded fine level
+    warm-starts both CGs inside shard_map. Same seed => the estimate must
+    match the replicated adjoint run to solver tolerance."""
+    from parelagmc_tpu.fem import build_geometric_hierarchy
+    from parelagmc_tpu.samplers import SPDESampler
+    from parelagmc_tpu.uq import MLMCManager
+    from parelagmc_tpu.utils.timing import TimeManager
+
+    def run(spatial):
+        TimeManager.reset()
+        mesh = make_box_mesh((4, 4, 4), lengths=(2.0, 2.0, 2.0))
+        hier = build_geometric_hierarchy(mesh, 2)
+        cfg = ProblemConfig(
+            refinements=1, mse=1e10, batch_size=8, initial_samples=8,
+            seed=0, output_filename="",
+        )
+        cfg.darcy_solver.name = "cg-schur"
+        cfg.darcy_solver.relative_tolerance = 1e-9
+        cfg.darcy_solver.max_iterations = 2000
+        cfg.darcy_solver.adjoint_qoi = True
+        if spatial:
+            cfg.darcy_solver.spatial_shards = 4
+            cfg.darcy_solver.spatial_sample_shards = 2
+        sampler = SPDESampler(hier, cfg, jnp.float64)
+        solver = DarcySolver(hier, cfg, jnp.float64)
+        assert solver.adjoint_pair_enabled(0)
+        mgr = MLMCManager(solver, sampler, cfg)
+        mgr.init_run([8, 8])
+        return float(mgr.estimate), np.asarray(mgr.eY)
+
+    est_ref, ey_ref = run(False)
+    est_sp, ey_sp = run(True)
+    np.testing.assert_allclose(est_sp, est_ref, rtol=1e-6)
+    np.testing.assert_allclose(ey_sp, ey_ref, rtol=1e-5, atol=1e-9)
