@@ -104,6 +104,19 @@ def main(argv=None):
             cfg.darcy_solver.max_iterations = 150
         if "relative_tolerance" not in user_opts:
             cfg.darcy_solver.relative_tolerance = 1e-6
+        # Measured full-scale level-0 tuning (examples/spe10_mg_tuning.py /
+        # spe10_iter_cost.py, r3): order-3 Chebyshev smoothing with lo=0.10
+        # cuts Schur-CG iterations 171 -> 109 at rtol 1e-7 vs the Jacobi
+        # V(2,2) cycle, and bfloat16 preconditioner state cuts per-iteration
+        # cost 48.7 -> 35.5 ms (batch 16) with no iteration penalty. Any
+        # re-capture should watch the solver-iterations row of show_me()
+        # (an unconverged level inflates it to max_iterations*segments).
+        if "coefmg_cheby_order" not in user_opts:
+            cfg.darcy_solver.coefmg_cheby_order = 3
+        if "coefmg_cheby_lo" not in user_opts:
+            cfg.darcy_solver.coefmg_cheby_lo = 0.10
+        if "coefmg_prec_dtype" not in user_opts:
+            cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
         # HBM-bound finest batch, throughput-sized coarse batches (16G
         # v5e; the full grid's finest level is 4.5M Darcy dofs at any
         # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
