@@ -135,10 +135,10 @@ def main(argv=None):
 
     def capture(tag, sp):
         q, it, rel = sp.solve_fwd(w)
-        key = (1, False, False)
+        key = (1, False, False, False, False)
         mem = (
             sp._jit_solve[key]
-            .lower(sp.grids, sp._to_grid(w, 1.0), None)
+            .lower(sp.grids, sp._to_grid(w, 1.0))
             .compile()
             .memory_analysis()
         )
