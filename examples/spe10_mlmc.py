@@ -24,6 +24,72 @@ from parelagmc_tpu.uq import MLMCManager
 from parelagmc_tpu.utils.timing import TimeManager
 
 
+def full_grid_solver_defaults(cfg, argv):
+    """Full-grid (60x220x85) production solver defaults, each yielding to
+    an explicit --solver-opt override already applied by parse_config.
+
+    Duration guards (see CLAUDE.md): split each pair step into two device
+    programs, cap Krylov iterations per execution and continue unconverged
+    solves across bounded segments (the TPU worker kills single executions
+    past ~1-2 minutes).
+
+    Tolerance: at SPE10's ~1e6 contrast the flux QoI's sensitivity to the
+    Schur residual is ~1e5 x the TRUE relative residual and varies
+    strongly per realization (CLAUDE.md r3 REVISED note - plain rtol 1e-6
+    still leaves worst-sample Q errors ~3%), so production enables the
+    adjoint-corrected QoI: measured full scale against a CONVERGED
+    adjoint@1e-6 truth (SPE10_ADJOINT_EVIDENCE.json, batch 8), adjoint@
+    rtol 1e-4 costs the same as plain@1e-6 (68.9 vs 68.3 ms/sample cold)
+    and lands 10x closer on Q (0.33% vs 3.2% worst sample) and 4.6x
+    closer on Y - the QoI error is the PRODUCT of the primal and adjoint
+    residuals, so the loose rtol stays QoI-valid.
+    """
+    cfg.split_pair_programs = True
+    cfg.solve_segments = 4
+    cfg.darcy_solver.name = "cg-schur-coefmg"
+    user_opts = {
+        argv[i + 1].partition("=")[0]
+        for i, tok in enumerate(argv)
+        if tok == "--solver-opt"
+    }
+    if "adjoint_qoi" not in user_opts:
+        cfg.darcy_solver.adjoint_qoi = True
+    if "relative_tolerance" not in user_opts:
+        cfg.darcy_solver.relative_tolerance = (
+            1e-4 if cfg.darcy_solver.adjoint_qoi else 1e-6
+        )
+    if "max_iterations" not in user_opts:
+        # Per device program (with adjoint_qoi each program holds TWO
+        # Krylov solves, so halve the budget; segments cover stragglers;
+        # must also cover the COLD coarse member of a pair - ~110
+        # iterations at level 1, rtol 1e-6).
+        cfg.darcy_solver.max_iterations = (
+            75 if cfg.darcy_solver.adjoint_qoi else 150
+        )
+    # Measured full-scale level-0 tuning (examples/spe10_mg_tuning.py /
+    # spe10_iter_cost.py, r3): order-3 Chebyshev smoothing with lo=0.10
+    # cuts Schur-CG iterations 171 -> 109 at rtol 1e-7 vs the Jacobi
+    # V(2,2) cycle, and bfloat16 preconditioner state cuts per-iteration
+    # cost 48.7 -> 35.5 ms (batch 16) with no iteration penalty. Any
+    # re-capture should watch the solver-iterations row of show_me()
+    # (an unconverged level inflates it to max_iterations*segments).
+    if "coefmg_cheby_order" not in user_opts:
+        cfg.darcy_solver.coefmg_cheby_order = 3
+    if "coefmg_cheby_lo" not in user_opts:
+        cfg.darcy_solver.coefmg_cheby_lo = 0.10
+    if "coefmg_prec_dtype" not in user_opts:
+        cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
+    # HBM-bound finest batch, throughput-sized coarse batches (16G
+    # v5e; the full grid's finest level is 4.5M Darcy dofs at any
+    # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
+    # ms/sample going 64 -> 128 (batch 256 exceeds HBM), level-2
+    # solve 7.3 -> 3.5 ms/sample going 64 -> 512. With the r3
+    # multilevel rates the optimal N_l allocation is coarse-heavy,
+    # so the coarse-level batches dominate total walltime.
+    cfg.batch_size_per_level = [8, 128] + [512] * (cfg.nlevels - 2)
+    return cfg
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     perm_file = None
@@ -72,59 +138,7 @@ def main(argv=None):
         # Full 60x220x85 grid; odd z-counts coarsen by merging the trailing
         # layer into the last coarse cell (non-dyadic derefinement).
         kinv = load_spe10_kinv(perm_file, ncells=(60, 220, 85))
-        # Full-grid duration guards (see CLAUDE.md): split each pair step
-        # into two device programs, cap Krylov iterations per execution and
-        # continue unconverged solves across bounded segments.
-        #
-        # Tolerance: at SPE10's ~1e6 contrast a residual rtol of 1e-4 is
-        # catastrophically loose for the flux QoI - measured Q = 12 at
-        # rtol 1e-4 vs 75.3 deep-converged (the error rides the
-        # low-eigenvalue barrier modes); rtol 1e-5 lands within 0.06%.
-        # f32 + the per-sample Galerkin MG + segmented true-residual
-        # restarts reach 1e-5 reliably (measured ~54 iterations at level 1).
-        # rtol 1e-6 pins the level-0 QoI to ~1% (f32 floor); the warm
-        # start from the energy-consistent coarse solution converges the
-        # fine solve in ~10 iterations. max_iterations must cover the COLD
-        # coarse member of a pair in one execution (~110 iterations at
-        # level 1, rtol 1e-6).
-        cfg.split_pair_programs = True
-        cfg.solve_segments = 4
-        cfg.darcy_solver.name = "cg-schur-coefmg"
-        # Full-grid duration-guard defaults yield to explicit --solver-opt
-        # overrides (e.g. --solver-opt adjoint_qoi=true --solver-opt
-        # relative_tolerance=1e-4: the adjoint-corrected QoI's error is the
-        # PRODUCT of the primal and adjoint residuals, so loose rtols stay
-        # QoI-valid; see examples/spe10_adjoint_check.py).
-        user_opts = {
-            argv[i + 1].partition("=")[0]
-            for i, tok in enumerate(argv)
-            if tok == "--solver-opt"
-        }
-        if "max_iterations" not in user_opts:
-            cfg.darcy_solver.max_iterations = 150
-        if "relative_tolerance" not in user_opts:
-            cfg.darcy_solver.relative_tolerance = 1e-6
-        # Measured full-scale level-0 tuning (examples/spe10_mg_tuning.py /
-        # spe10_iter_cost.py, r3): order-3 Chebyshev smoothing with lo=0.10
-        # cuts Schur-CG iterations 171 -> 109 at rtol 1e-7 vs the Jacobi
-        # V(2,2) cycle, and bfloat16 preconditioner state cuts per-iteration
-        # cost 48.7 -> 35.5 ms (batch 16) with no iteration penalty. Any
-        # re-capture should watch the solver-iterations row of show_me()
-        # (an unconverged level inflates it to max_iterations*segments).
-        if "coefmg_cheby_order" not in user_opts:
-            cfg.darcy_solver.coefmg_cheby_order = 3
-        if "coefmg_cheby_lo" not in user_opts:
-            cfg.darcy_solver.coefmg_cheby_lo = 0.10
-        if "coefmg_prec_dtype" not in user_opts:
-            cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
-        # HBM-bound finest batch, throughput-sized coarse batches (16G
-        # v5e; the full grid's finest level is 4.5M Darcy dofs at any
-        # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
-        # ms/sample going 64 -> 128 (batch 256 exceeds HBM), level-2
-        # solve 7.3 -> 3.5 ms/sample going 64 -> 512. With the r3
-        # multilevel rates the optimal N_l allocation is coarse-heavy,
-        # so the coarse-level batches dominate total walltime.
-        cfg.batch_size_per_level = [8, 128] + [512] * (cfg.nlevels - 2)
+        full_grid_solver_defaults(cfg, argv)
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
     mgr.init_run([cfg.initial_samples] * cfg.nlevels)

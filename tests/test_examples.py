@@ -169,6 +169,43 @@ def test_spe10_mlmc_synthetic(capsys, tmp_path, monkeypatch):
     np.testing.assert_allclose(est, 487.129, rtol=0.01)
 
 
+def test_spe10_full_grid_solver_defaults():
+    """Production full-grid defaults (adjoint-corrected QoI at rtol 1e-4,
+    halved per-program iteration budget, cheb3/bf16 coefMG tuning) and
+    their precedence under explicit --solver-opt overrides - the defaults
+    must NEVER clobber a user-provided value (round-3 --solver-opt
+    precedence contract)."""
+    from examples.common import parse_config
+    from examples.spe10_mlmc import full_grid_solver_defaults
+
+    cfg = full_grid_solver_defaults(parse_config([], mesh="spe10"), [])
+    ds = cfg.darcy_solver
+    assert ds.name == "cg-schur-coefmg"
+    assert ds.adjoint_qoi and ds.relative_tolerance == 1e-4
+    assert ds.max_iterations == 75
+    assert ds.coefmg_cheby_order == 3 and ds.coefmg_cheby_lo == 0.10
+    assert ds.coefmg_prec_dtype == "bfloat16"
+    assert cfg.split_pair_programs and cfg.solve_segments == 4
+    assert cfg.batch_size_per_level[:2] == [8, 128]
+
+    # Disabling the adjoint QoI falls back to the plain-path guards.
+    argv = ["--solver-opt", "adjoint_qoi=false"]
+    ds = full_grid_solver_defaults(parse_config(list(argv), mesh="spe10"),
+                                   argv).darcy_solver
+    assert not ds.adjoint_qoi
+    assert ds.relative_tolerance == 1e-6 and ds.max_iterations == 150
+
+    # Explicit overrides win over every default.
+    argv = ["--solver-opt", "relative_tolerance=1e-5",
+            "--solver-opt", "coefmg_cheby_order=0",
+            "--solver-opt", "max_iterations=60"]
+    ds = full_grid_solver_defaults(parse_config(list(argv), mesh="spe10"),
+                                   argv).darcy_solver
+    assert ds.relative_tolerance == 1e-5
+    assert ds.coefmg_cheby_order == 0
+    assert ds.max_iterations == 60
+
+
 def test_sampler_test_driver(capsys):
     from examples import sampler_test
 
