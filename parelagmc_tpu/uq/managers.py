@@ -273,11 +273,30 @@ class MLMCManager:
                 qc, _, info_c, p_c, lam_c = solver.solve_fwd(
                     level + 1, s_c, return_pressure=True, return_adjoint=True
                 )
-                return s_f, p_c, lam_c, qc, info_c.iterations
+                return (s_f, s_c, p_c, lam_c, qc,
+                        info_c.iterations, info_c.converged)
             qc, _, info_c, p_c = solver.solve_fwd(
                 level + 1, s_c, return_pressure=True
             )
-            return s_f, p_c, None, qc, info_c.iterations
+            return s_f, s_c, p_c, None, qc, info_c.iterations, info_c.converged
+
+        def stage1_cont(s_c, p_prev, lam_prev):
+            # Coarse-member continuation: the COLD coarse solve of a pair is
+            # the one most likely to exhaust a bounded per-program budget
+            # (the fine member warm-starts from its pressure), and an
+            # unconverged qc corrupts Y = q - qc just as surely as an
+            # unconverged fine solve (cf. examples/spe10_performance.py's
+            # pair canary covering BOTH solves).
+            if adjoint:
+                qc, _, info_c, p, lam = solver.solve_fwd_x0(
+                    level + 1, s_c, p_prev, return_pressure=True,
+                    lam0=lam_prev, return_adjoint=True,
+                )
+                return qc, info_c.iterations, info_c.converged, p, lam
+            qc, _, info_c, p = solver.solve_fwd_x0(
+                level + 1, s_c, p_prev, return_pressure=True
+            )
+            return qc, info_c.iterations, info_c.converged, p, None
 
         def stage2(s_f, p_c, lam_c):
             if adjoint:
@@ -313,14 +332,25 @@ class MLMCManager:
         ex_pf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
         ex_lf = ex_pf if adjoint else None
         j3 = jit_hoisted(stage_cont, ex_sf, ex_pf, ex_lf) if segments > 1 else None
+        j1c = (
+            jit_hoisted(stage1_cont, ex_pc, ex_pc, ex_lc)
+            if segments > 1
+            else None
+        )
 
         def step(key):
-            s_f, p_c, lam_c, qc, it_c = j1(key)
-            q, it_f, conv, p, lam = j2(s_f, p_c, lam_c)
-            iters = it_f + it_c
+            s_f, s_c, p_c, lam_c, qc, it_c, conv_c = j1(key)
+            iters = it_c
             for _ in range(segments - 1):
                 # Host-side convergence check between bounded executions
-                # (one int fetch; negligible vs the solve itself).
+                # (one bool-array fetch; negligible vs the solve itself).
+                if bool(np.asarray(conv_c).all()):
+                    break
+                qc, it_c, conv_c, p_c, lam_c = j1c(s_c, p_c, lam_c)
+                iters = iters + it_c
+            q, it_f, conv, p, lam = j2(s_f, p_c, lam_c)
+            iters = iters + it_f
+            for _ in range(segments - 1):
                 if bool(np.asarray(conv).all()):
                     break
                 q, it_f, conv, p, lam = j3(s_f, p, lam)
@@ -332,6 +362,8 @@ class MLMCManager:
             j2.aot_compile()
             if j3 is not None:
                 j3.aot_compile()
+            if j1c is not None:
+                j1c.aot_compile()
 
         step.aot_compile = aot_compile
         self._steps[level] = step

@@ -141,6 +141,37 @@ def test_split_pair_adjoint_threads_lambda(tmp_path):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
 
 
+def test_split_pair_coarse_member_continues(tmp_path):
+    """The COLD coarse member of a split pair step must also continue
+    across bounded segments when it exhausts a per-program iteration
+    budget - an unconverged qc corrupts Y = q - qc just as surely as an
+    unconverged fine solve. Budget 10 is far below the cold coarse
+    solve's need on this problem, so without stage1 continuation the
+    statistics diverge from the deep composed reference. (Agreement is to
+    Krylov-tolerance, not bitwise: each bounded segment restarts from the
+    threaded iterate and stops on its own true-residual check - measured
+    ~6e-5 relative on eY at budget 10 vs one 500-iteration program;
+    without the coarse continuation eY would be O(1) wrong.)"""
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(tmp_path=tmp_path, seed=13)
+    mgr = MLMCManager(solver, sampler, cfg)
+    mgr.init_run([8, 8, 8])
+    ref = (mgr.eY.copy(), mgr.eQ.copy())
+    mgr.close()
+
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(
+        tmp_path=tmp_path, seed=13, split_pair_programs=True,
+        solve_segments=12,
+    )
+    cfg.darcy_solver.max_iterations = 10
+    mgr = MLMCManager(solver, sampler, cfg)
+    mgr.init_run([8, 8, 8])
+    for a, b in zip(ref, (mgr.eY.copy(), mgr.eQ.copy())):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-8)
+    mgr.close()
+
+
 def test_batch_size_per_level(tmp_path):
     """Per-level batch sizes: finest level HBM-bound, coarse levels large
     (the SPE10-scale configuration). Sample counts round up to whole
