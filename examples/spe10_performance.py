@@ -93,6 +93,16 @@ def main(argv=None):
     selfcheck = "--selfcheck" in argv
     if selfcheck:
         argv.remove("--selfcheck")
+    # Coarse-level batch clamp: level 2 dominates total MLMC walltime at
+    # the optimal N_l allocation (V[Y]*C balance 0.080/0.178/1.30,
+    # SPE10_MLMC_EVIDENCE.txt), so its batch cap is a first-order knob -
+    # --batch-clamp 1024 to probe past the measured-512 evidence point
+    # (the 12G HBM budget formula below says 1024 fits at level-2 dofs).
+    batch_clamp = 512
+    if "--batch-clamp" in argv:
+        i = argv.index("--batch-clamp")
+        batch_clamp = int(argv[i + 1])
+        del argv[i : i + 2]
     # Per-sample Galerkin MG: converges SPE10 level-0 solves to rtol 1e-4
     # in ~31 iterations (vs 480+ iterations stuck at ~5e-4 for the static
     # kinv MG with local scaling) - the per-sample hierarchy is decisive
@@ -184,7 +194,7 @@ def main(argv=None):
             return 8  # measured: largest batch that compiles at 4.5M dofs
         per_sample = 40 * solver.num_dofs(level) * dt_bytes
         cap = max(8, int(12e9 / per_sample))
-        return min(512, 1 << (cap.bit_length() - 1))
+        return min(batch_clamp, 1 << (cap.bit_length() - 1))
 
     def timed(step, label, batch, prejitted=False, max_reps=None):
         reps = max(1, cfg.initial_samples // batch)

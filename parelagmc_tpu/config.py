@@ -180,6 +180,31 @@ class SolverConfig:
     # Costs one extra Schur CG solve of the same system (same
     # preconditioner state, shared setup).
     adjoint_qoi: bool = False
+    # Solve the primal and adjoint Schur systems as ONE stacked batched
+    # PCG (rhs axis -2, vmapped operator/preconditioner closures) instead
+    # of two sequential solves. The per-sample preconditioner state
+    # (tridiagonal mass factors, coefMG dinv/idiag hierarchies) is then
+    # streamed from HBM once per iteration for BOTH systems - on the
+    # bandwidth-bound SPE10-scale levels the second right-hand side rides
+    # nearly free, and the loop runs max(it_p, it_a) trips instead of
+    # it_p + it_a. Off by default pending the at-scale fusion canaries
+    # (CLAUDE.md: never trust a new fused composition at scale without a
+    # converged_fraction / known-E[Q] check). Ignored unless adjoint_qoi;
+    # batched cg-schur family only (spatially sharded solves keep the
+    # sequential adjoint inside their shard_map).
+    adjoint_stacked: bool = False
+    # Warm-start every COLD solve (solve_fwd with no iterate, i.e. the
+    # solo coarsest-level samples that dominate total MLMC walltime at the
+    # optimal N_l allocation, and the coarse member of each pair) from the
+    # mean-field solution: ONE reference solve per level with w == 1 (the
+    # lognormal multiplier's geometric mean under normalized marginals),
+    # cached at first use and broadcast as the initial PCG iterate. With
+    # adjoint_qoi the mean-field adjoint warm-starts lam the same way.
+    # Unbiased: x0 is a deterministic constant, the solve still runs to
+    # the same per-row true-residual criterion. Measured (CPU f64,
+    # (16,56,24) synthetic SPE10, cheb3 MG, rtol 1e-6): level-1 cold 38 ->
+    # 24 iterations, level-2 17 -> 13. Batched cg-schur family only.
+    meanfield_x0: bool = False
     # Preconditioner-state dtype for cg-schur-coefmg: "" keeps the solve
     # dtype; "bfloat16" casts the per-sample V-cycle tables AND its
     # residual math to bf16 (CG itself stays in the solve dtype). The
