@@ -63,8 +63,25 @@ def main():
         "truth": get("--truth-rtol", 1e-7, float),
     }
     out_file = get("--out", "SPE10_ADJOINT_EVIDENCE.json")
+    # Extra DarcySolverConfig fields applied to the ADJOINT variant only
+    # (truth and plain legs stay at the anchored configuration), e.g.
+    #   --solver-opt adjoint_stacked=true --solver-opt meanfield_x0=true
+    # so a candidate solver lever is priced against the unchanged truth.
+    solver_opts = [
+        argv[i + 1] for i, tok in enumerate(argv) if tok == "--solver-opt"
+    ]
 
-    def build(adjoint, rtol):
+    def apply_opts(scfg):
+        for kv in solver_opts:
+            key, _, val = kv.partition("=")
+            cur = getattr(scfg, key)  # raises on unknown field
+            coerce = type(cur) if cur is not None else str
+            if coerce is bool:
+                setattr(scfg, key, val.lower() in ("1", "true", "yes", "on"))
+            else:
+                setattr(scfg, key, coerce(val))
+
+    def build(adjoint, rtol, extra_opts=False):
         if grid == (60, 220, 85):
             mesh_kw = dict(mesh="spe10", refinements=2)
         else:
@@ -94,6 +111,8 @@ def main():
         cfg.darcy_solver.relative_tolerance = rtol
         cfg.darcy_solver.local_schur_scaling = True
         cfg.darcy_solver.adjoint_qoi = adjoint
+        if extra_opts:
+            apply_opts(cfg.darcy_solver)
         return build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=grid))
 
     # One problem instance provides the sample fields; every variant solves
@@ -224,11 +243,13 @@ def main():
     results["plain"] = run_pair(
         build(False, rtols["plain"]), False, f"plain@{rtols['plain']:g}")
     results["adjoint"] = run_pair(
-        build(True, rtols["adjoint"]), True, f"adjoint@{rtols['adjoint']:g}")
+        build(True, rtols["adjoint"], extra_opts=True), True,
+        f"adjoint@{rtols['adjoint']:g}")
 
     yt = results["truth"]["q"] - results["truth"]["qc"]
     report = {"config": {"grid": list(grid), "batch": batch, "seed": seed,
-                         "rtols": rtols, "platform": "cpu" if cpu else "tpu"}}
+                         "rtols": rtols, "platform": "cpu" if cpu else "tpu",
+                         "adjoint_solver_opts": solver_opts}}
     for name in ("plain", "adjoint"):
         r = results[name]
         y = r["q"] - r["qc"]

@@ -773,25 +773,30 @@ class DarcySolver:
         stays inside the TPU worker's execution-duration limit at SPE10
         scale (CLAUDE.md). Cached arrays surface as jaxpr consts and are
         hoisted to runtime arguments by ops.jit_utils.jit_hoisted, not
-        embedded in compiled modules."""
+        embedded in compiled modules. The setup runs under
+        jax.ensure_compile_time_eval(): the first solve_fwd call is often
+        itself being traced (jit_hoisted managers), and this setup is
+        constant w.r.t. the traced inputs - without the escape the host-side
+        convergence check would hit a tracer."""
         if level in self._mf_cache:
             return self._mf_cache[level]
         L = self.levels[level]
         adjoint = getattr(self.solver_cfg, "adjoint_qoi", False)
-        ones = jnp.ones((1, L.n_s), dtype=self.dtype)
-        out = self._solve_cg_schur(
-            L, ones, True, return_adjoint=adjoint
-        )
-        info, p = out[2], out[3]
-        lam = out[4] if adjoint else None
-        for _ in range(15):
-            if bool(np.asarray(info.converged).all()):
-                break
+        with jax.ensure_compile_time_eval():
+            ones = jnp.ones((1, L.n_s), dtype=self.dtype)
             out = self._solve_cg_schur(
-                L, ones, True, x0=p, lam0=lam, return_adjoint=adjoint
+                L, ones, True, return_adjoint=adjoint
             )
             info, p = out[2], out[3]
             lam = out[4] if adjoint else None
+            for _ in range(15):
+                if bool(np.asarray(info.converged).all()):
+                    break
+                out = self._solve_cg_schur(
+                    L, ones, True, x0=p, lam0=lam, return_adjoint=adjoint
+                )
+                info, p = out[2], out[3]
+                lam = out[4] if adjoint else None
         entry = (p[0], lam[0] if lam is not None else None)
         self._mf_cache[level] = entry
         return entry

@@ -556,3 +556,49 @@ def test_meanfield_x0_warm_start():
     assert bool(np.asarray(info_a.converged).all())
     np.testing.assert_allclose(np.asarray(q_a), np.asarray(q_r), rtol=1e-5)
     assert int(np.asarray(info_a.iterations)) < int(np.asarray(info_r.iterations))
+
+
+def test_meanfield_x0_first_call_under_jit():
+    """Regression: the lazy mean-field cache fill must work when the FIRST
+    solve_fwd call is itself being traced (the managers jit their step
+    functions, so the cache is usually populated at trace time). Before the
+    jax.ensure_compile_time_eval() escape in _meanfield_start, the host-side
+    convergence check hit a TracerArrayConversionError."""
+    import numpy as np
+
+    from parelagmc_tpu.config import ProblemConfig
+    from parelagmc_tpu.physics.spe10 import load_spe10_kinv
+    from parelagmc_tpu.problems import build_problem
+
+    cfg = ProblemConfig(
+        mesh="box", ncells=(4, 14, 6), lengths=(1200.0, 2200.0, 170.0),
+        refinements=1, batch_size=2, correlation_length=100.0,
+        normalize_marginals=True, dtype="float64",
+    )
+    cfg.darcy_solver.name = "cg-schur-coefmg"
+    cfg.darcy_solver.max_iterations = 3000
+    cfg.darcy_solver.relative_tolerance = 1e-8
+    cfg.darcy_solver.meanfield_x0 = True
+    cfg.darcy_solver.adjoint_qoi = True
+    prob = build_problem(
+        cfg, kinv_ref=load_spe10_kinv(None, ncells=(8, 28, 12))
+    )
+    xi = prob.sampler.sample(0, jax.random.PRNGKey(3), 2)
+    s = jnp.asarray(np.asarray(prob.sampler.eval(0, xi)))
+    # Fresh solver: first solve happens inside jit tracing.
+    q_j, _, info_j = jax.jit(lambda w: prob.solver.solve_fwd(0, w))(s)
+    assert bool(np.asarray(info_j.converged).all())
+    ref = build_problem(
+        ProblemConfig(
+            mesh="box", ncells=(4, 14, 6), lengths=(1200.0, 2200.0, 170.0),
+            refinements=1, batch_size=2, correlation_length=100.0,
+            normalize_marginals=True, dtype="float64",
+        ),
+        kinv_ref=load_spe10_kinv(None, ncells=(8, 28, 12)),
+    )
+    ref.solver.solver_cfg.max_iterations = 3000
+    ref.solver.solver_cfg.relative_tolerance = 1e-8
+    q_r, _, _ = ref.solver.solve_fwd(0, s)
+    # Adjoint-corrected vs plain QoI at finite Krylov tolerance: agreement
+    # to ~1e-4 relative is the expected band at this contrast.
+    np.testing.assert_allclose(np.asarray(q_j), np.asarray(q_r), rtol=1e-3)
