@@ -143,17 +143,24 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
     if args.spatial_sample_shards is not None:
         cfg.darcy_solver.spatial_sample_shards = args.spatial_sample_shards
     for kv in args.solver_opt or ():
-        key, _, val = kv.partition("=")
-        if not _ or not hasattr(cfg.darcy_solver, key):
-            raise SystemExit(
-                f"--solver-opt {kv!r}: unknown DarcySolverConfig field "
-                f"{key!r} (see parelagmc_tpu/config.py)"
-            )
-        cur = getattr(cfg.darcy_solver, key)
-        coerce = type(cur) if cur is not None else str
-        if coerce is bool:
-            setattr(cfg.darcy_solver, key,
-                    val.lower() in ("1", "true", "yes", "on"))
-        else:
-            setattr(cfg.darcy_solver, key, coerce(val))
+        apply_solver_opt(cfg.darcy_solver, kv)
     return cfg
+
+
+def apply_solver_opt(scfg, kv: str) -> None:
+    """Apply one --solver-opt KEY=VALUE to a DarcySolverConfig, coercing
+    VALUE to the field's current type. The single implementation for every
+    harness (review r3: three hand-rolled copies had diverged on bool
+    parsing)."""
+    key, sep, val = kv.partition("=")
+    if not sep or not hasattr(scfg, key):
+        raise SystemExit(
+            f"--solver-opt {kv!r}: unknown DarcySolverConfig field "
+            f"{key!r} (see parelagmc_tpu/config.py)"
+        )
+    cur = getattr(scfg, key)
+    coerce = type(cur) if cur is not None else str
+    if coerce is bool:
+        setattr(scfg, key, val.lower() in ("1", "true", "yes", "on"))
+    else:
+        setattr(scfg, key, coerce(val))

@@ -134,7 +134,7 @@ def main(argv=None):
     }
 
     def capture(tag, sp):
-        q, it, rel = sp.solve_fwd(w)
+        q, it, rel, conv = sp.solve_fwd(w)
         key = (1, False, False, False, False)
         mem = (
             sp._jit_solve[key]
@@ -145,6 +145,7 @@ def main(argv=None):
         results["runs"][tag] = {
             "iterations": int(np.max(np.asarray(it))),
             "relres": float(np.max(np.asarray(rel))),
+            "converged_fraction": float(np.mean(np.asarray(conv))),
             "qoi_rel_err_vs_deep": float(
                 np.max(np.abs((np.asarray(q) - q_true) / q_true))
             ),

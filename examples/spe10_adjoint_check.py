@@ -72,14 +72,10 @@ def main():
     ]
 
     def apply_opts(scfg):
+        from examples.common import apply_solver_opt
+
         for kv in solver_opts:
-            key, _, val = kv.partition("=")
-            cur = getattr(scfg, key)  # raises on unknown field
-            coerce = type(cur) if cur is not None else str
-            if coerce is bool:
-                setattr(scfg, key, val.lower() in ("1", "true", "yes", "on"))
-            else:
-                setattr(scfg, key, coerce(val))
+            apply_solver_opt(scfg, kv)
 
     def build(adjoint, rtol, extra_opts=False):
         if grid == (60, 220, 85):

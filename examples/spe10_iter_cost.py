@@ -47,15 +47,11 @@ def main():
     # Repeatable --solver-opt KEY=VALUE, same semantics as examples/common
     # (prices the barrier-aware knobs: coefmg_line_axes, coefmg_coarsen,
     # coefmg_cheby_order, ...).
+    from examples.common import apply_solver_opt
+
     for i, tok in enumerate(argv):
         if tok == "--solver-opt":
-            key, _, val = argv[i + 1].partition("=")
-            cur = getattr(cfg.darcy_solver, key)
-            coerce = type(cur) if cur is not None else str
-            setattr(
-                cfg.darcy_solver, key,
-                val.lower() in ("1", "true") if coerce is bool else coerce(val),
-            )
+            apply_solver_opt(cfg.darcy_solver, argv[i + 1])
     prob = build_problem(cfg, kinv_ref=load_spe10_kinv(None, ncells=(60, 220, 85)))
     solver = prob.solver
     L = solver.levels[0]

@@ -169,13 +169,19 @@ def main(argv=None):
         )
         print(f"{label:22s} {iters:6d} {str(conv):>5s} "
               f"{fine_s_applies(ch, sw) * cy:6d} {ems:12.1f} {q[0]:10.4f}")
-    best = min((r for r in rows if r["converged"]), key=lambda r: r["est_ms"])
-    print(f"# best by TPU proxy: {best['label']} "
-          f"({best['iters']} iters, est {best['est_ms']:.0f} ms/solve)")
-    qs = [r["q0"] for r in rows if r["converged"]]
-    if max(qs) - min(qs) > 1e-3 * max(abs(q) for q in qs):
-        print("# WARNING: converged QoIs disagree across preconditioners - "
-              "rtol too loose for this contrast (CLAUDE.md rtol note)")
+    converged_rows = [r for r in rows if r["converged"]]
+    if converged_rows:
+        best = min(converged_rows, key=lambda r: r["est_ms"])
+        print(f"# best by TPU proxy: {best['label']} "
+              f"({best['iters']} iters, est {best['est_ms']:.0f} ms/solve)")
+        qs = [r["q0"] for r in converged_rows]
+        if max(qs) - min(qs) > 1e-3 * max(abs(q) for q in qs):
+            print("# WARNING: converged QoIs disagree across "
+                  "preconditioners - rtol too loose for this contrast "
+                  "(CLAUDE.md rtol note)")
+    else:
+        print("# WARNING: no variant converged within the iteration cap - "
+              "loosen --rtol or raise the cap; rows still recorded")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"grid": grid, "rtol": rtol, "rows": rows}, f, indent=1)

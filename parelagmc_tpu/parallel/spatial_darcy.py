@@ -162,7 +162,21 @@ def _parse_line_axes_compat(scfg, mesh) -> tuple:
     """config.coefmg_line_axes for the spatial path: explicit letters only
     ("auto" needs the reference coefficient, unavailable here -> ())."""
     spec = (getattr(scfg, "coefmg_line_axes", "") or "").strip().lower()
-    if not spec or spec == "auto":
+    if spec == "auto":
+        # Surface the fallback instead of quietly dropping the smoother a
+        # user validated on the replicated path (review r3; mirrors the
+        # split_pair_programs fallback warning).
+        import warnings
+
+        warnings.warn(
+            "coefmg_line_axes='auto' is unavailable on the spatially-"
+            "sharded path (auto selection needs the reference coefficient);"
+            " running WITHOUT line relaxation. Pass explicit letters (e.g."
+            " 'xz') to keep line smoothing under spatial_shards.",
+            stacklevel=2,
+        )
+        return ()
+    if not spec:
         return ()
     from parelagmc_tpu.physics.darcy import _parse_line_axes
 
@@ -761,10 +775,17 @@ class SpatialDarcy:
         )
 
     # -- the sharded solve ------------------------------------------------------
-    def _run_cg(self, g: _Grids, apply_S, prec, vdot, rhs_s, x0t=None):
+    def _run_cg(
+        self, g: _Grids, apply_S, prec, vdot, rhs_s, x0t=None,
+        want_r_true=False,
+    ):
         """Preconditioned CG on the sharded Schur grids, SPMD-safe across
         the (dp, sp) mesh (uniform while_loop exit; see any_active).
-        Returns (x, iterations, rnorm, bnorm)."""
+        Returns (x, iterations, rnorm, bnorm, converged, r_true);
+        r_true is the final true-residual VECTOR when want_r_true (the
+        adjoint correction consumes it - computing it here means the
+        convergence check shares the operator application instead of
+        paying a second one), else None."""
         if x0t is None:
             x = jnp.zeros_like(rhs_s)
             r = rhs_s
@@ -831,7 +852,40 @@ class SpatialDarcy:
         it, x, r, p, rz, rn, _ = jax.lax.while_loop(
             cond, body, (it0, x, r, p, rz, rn0, any_active(rn0))
         )
-        return x, it, rn, bn
+        # Verify claimed convergence against the TRUE residual, mirroring
+        # ops.solvers.pcg (review r3): between restarts the f32 recurrence
+        # drifts BELOW the true residual, so an exit triggered by the
+        # recurrence can hand the managers' segmented continuation an
+        # unverified converged=True with the QoI still carrying the
+        # loose-residual error. The lax.cond predicate is psum-reduced over
+        # every mesh axis (like any_active) so it is SPMD-uniform and the
+        # collectives inside apply_S are rendezvous-safe.
+        claimed = rn <= thresh
+        if want_r_true:
+            # The caller needs the true-residual vector regardless (adjoint
+            # correction), so compute it unconditionally and the flag is
+            # always verified.
+            r_true = rhs_s - apply_S(x)
+            rn = jnp.sqrt(vdot(r_true, r_true))
+            verified = True
+        else:
+            r_true = None
+            nclaimed = jnp.sum(claimed.astype(jnp.int32))
+            if self.n_dp > 1:
+                nclaimed = jax.lax.psum(nclaimed, self.sample_axis)
+            verified = nclaimed > 0
+
+            def _true_rn(_):
+                r_t = rhs_s - apply_S(x)
+                return jnp.sqrt(vdot(r_t, r_t))
+
+            rn = jax.lax.cond(verified, _true_rn, lambda _: rn, None)
+        # Same per-row 4x exit slack as ops.solvers.pcg: the true residual
+        # generically sits a small factor above the recurrence that
+        # triggered the exit; the failure class this flag exists for is
+        # orders of magnitude.
+        conv = rn <= thresh * jnp.where(verified & claimed, 4.0, 1.0)
+        return x, it, rn, bn, conv, r_true
 
     def _local_solve(
         self, g: _Grids, w: jnp.ndarray, x0t=None, lam0t=None, adjoint=False
@@ -840,7 +894,7 @@ class SpatialDarcy:
         block; x0t an optional warm-start pressure grid in the internal
         p~ = -p convention (already sliced per shard); lam0t an optional
         adjoint warm start (no sign flip). Returns
-        (Q, iterations, rnorm, p~ grid[, lambda grid])."""
+        (Q, iterations, rnorm, converged, p~ grid[, lambda grid])."""
         w = jnp.where(g.pad_cell, 1.0, w)
         w_dn = self._halo_up(w[..., -1:, :])
         blo_y = self._halo_up(g.brr[1][..., -1:, :])
@@ -870,7 +924,9 @@ class SpatialDarcy:
             sw = jnp.sqrt(w)
             prec = lambda r: sw * (r / g.sdiag) * sw
 
-        x, it, rn, bn = self._run_cg(g, apply_S, prec, vdot, rhs_s, x0t)
+        x, it, rn, bn, conv, r_true = self._run_cg(
+            g, apply_S, prec, vdot, rhs_s, x0t, want_r_true=adjoint
+        )
         # Velocity and QoI (p~ = -p convention matches the unsharded path:
         # rhs_s was built as B Minv f - g for the system S p~ = rhs_s).
         bt = self._apply_bt(g, x)
@@ -893,19 +949,21 @@ class SpatialDarcy:
             q_s = jnp.broadcast_to(
                 g.obs_p, rhs_s.shape
             ) - self._apply_b(g, minv(cu))
-            lam, it_a, rn_a, bn_a = self._run_cg(
+            lam, it_a, rn_a, bn_a, conv_a, _ = self._run_cg(
                 g, apply_S, prec, vdot, q_s, lam0t
             )
-            r_true = rhs_s - apply_S(x)
+            # r_true came out of the primal _run_cg (want_r_true) - the
+            # convergence check and the correction share one S application.
             q = q + vdot(lam, r_true)
             it = it + it_a
             rel = jnp.maximum(rel, rn_a / jnp.where(bn_a == 0, 1.0, bn_a))
+            conv = conv & conv_a
         # Iterations broadcast to the batch so every output is uniformly
         # dp-sharded when a sample axis is present.
         it_b = jnp.broadcast_to(it, q.shape)
         if adjoint:
-            return q, it_b, rel, x, lam
-        return q, it_b, rel, x
+            return q, it_b, rel, conv, x, lam
+        return q, it_b, rel, conv, x
 
     def _to_grid(self, v: jnp.ndarray, pad_value: float) -> jnp.ndarray:
         """(batch, n_s) flat cell field -> padded (batch, nz, ny_pad, nx)."""
@@ -933,8 +991,8 @@ class SpatialDarcy:
         adjoint: bool = False,
     ):
         """Solve for a batch of coefficient fields (batch, n_s) given in
-        the UNSHARDED flat cell order; returns (Q, iterations,
-        relres[, p][, lam]) with iterations broadcast to the batch and p
+        the UNSHARDED flat cell order; returns (Q, iterations, relres,
+        converged[, p][, lam]) with iterations broadcast to the batch and p
         the physical cell pressure (flat, unsharded order) when requested.
         p0 optionally warm-starts CG from a physical pressure on the SAME
         level (e.g. the prolongated coarse pressure of an MLMC pair - the
@@ -981,7 +1039,7 @@ class SpatialDarcy:
                 bspec[0] = self.sample_axis
             w_spec = P(*(bspec + [None, axis, None]))
             b_out = P(*bspec)
-            out_spec = (b_out, b_out, b_out)
+            out_spec = (b_out, b_out, b_out, b_out)
             if return_pressure:
                 out_spec = out_spec + (w_spec,)
                 if adjoint:
@@ -996,8 +1054,8 @@ class SpatialDarcy:
                     g, wloc, x0loc, lam0loc, adjoint=adjoint
                 )
                 if return_pressure:
-                    return out[: 5 if adjoint else 4]
-                return out[:3]
+                    return out[: 6 if adjoint else 5]
+                return out[:4]
 
             in_specs = (g_spec, w_spec) + (w_spec,) * (
                 int(have_x0) + int(have_l0)
@@ -1017,11 +1075,11 @@ class SpatialDarcy:
         if not return_pressure:
             return out
         if adjoint:
-            q, it, rel, xg, lamg = out
+            q, it, rel, conv, xg, lamg = out
             lam = lamg[..., :, :ny, :].reshape(batch + (self.n_s,))
         else:
-            q, it, rel, xg = out
+            q, it, rel, conv, xg = out
         p = (-xg)[..., :, :ny, :].reshape(batch + (self.n_s,))
         if adjoint:
-            return q, it, rel, p, lam
-        return q, it, rel, p
+            return q, it, rel, conv, p, lam
+        return q, it, rel, conv, p

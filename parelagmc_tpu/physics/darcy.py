@@ -881,17 +881,18 @@ class DarcySolver:
             lam0=lam0,
             adjoint=adjoint,
         )
-        q, it, rel = out[:3]
-        # rel = |r|/|b| from the sharded CG; the loop exits at
-        # rel <= rtol, so the tiny multiplicative slack only absorbs the
-        # division's rounding. With adjoint, rel is the max of the primal
-        # and adjoint solves and `it` their sum (cf. _solve_cg_schur).
-        info = SolveInfo(jnp.max(it), rel, rel <= sp.rtol * (1 + 1e-6))
+        q, it, rel, conv = out[:4]
+        # rel and conv come from the sharded CG's true-residual-verified
+        # exit (parallel/spatial_darcy._run_cg, same honesty contract as
+        # ops.solvers.pcg). With adjoint, rel is the max of the primal
+        # and adjoint solves, conv their AND, and `it` their sum
+        # (cf. _solve_cg_schur).
+        info = SolveInfo(jnp.max(it), rel, conv)
         cost = float(self.num_dofs(level))
         if return_adjoint:
-            return q, cost, info, out[3], out[4]
+            return q, cost, info, out[4], out[5]
         if return_pressure:
-            return q, cost, info, out[3]
+            return q, cost, info, out[4]
         return q, cost, info
 
     def adjoint_pair_enabled(self, level: int) -> bool:
@@ -1158,7 +1159,10 @@ class DarcySolver:
                 )
             apply_S2 = jax.vmap(apply_S, in_axes=-2, out_axes=-2)
             prec2 = jax.vmap(prec, in_axes=-2, out_axes=-2)
-            X, info2 = pcg(
+            # want_r_true: the correction needs the primal true residual
+            # anyway, so the exit verification and the correction share one
+            # stacked S application (review r3).
+            X, info2, R_true = pcg(
                 apply_S2,
                 bb,
                 prec=prec2,
@@ -1167,6 +1171,7 @@ class DarcySolver:
                 rtol=self.solver_cfg.relative_tolerance,
                 atol=self.solver_cfg.absolute_tolerance,
                 restart_every=self.solver_cfg.restart_every,
+                want_r_true=True,
             )
             p = X[..., 0, :]
             lam = X[..., 1, :]
@@ -1182,7 +1187,10 @@ class DarcySolver:
                 jnp.all(info2.converged, axis=-1),
             )
         else:
-            p, info = pcg(
+            # want_r_true on the adjoint path only: the correction consumes
+            # the primal true residual, so pcg's exit verification shares
+            # the operator application with it (review r3).
+            out = pcg(
                 apply_S,
                 rhs_s,
                 prec=prec,
@@ -1191,13 +1199,16 @@ class DarcySolver:
                 rtol=self.solver_cfg.relative_tolerance,
                 atol=self.solver_cfg.absolute_tolerance,
                 restart_every=self.solver_cfg.restart_every,
+                want_r_true=adjoint,
             )
+            p, info = out[0], out[1]
+            r_true = out[2] if adjoint else None
         u = Minv(f - self._apply_Bt(L, p))
         Q = jnp.sum(p * L.obs_func[L.n_u:], axis=-1) + jnp.sum(
             u * L.obs_func[: L.n_u], axis=-1
         )
         if stacked:
-            r_true = rhs_s - apply_S(p)
+            r_true = R_true[..., 0, :]
             Q = Q + jnp.sum(lam * r_true, axis=-1)
         elif adjoint:
             # Goal-oriented correction (config.adjoint_qoi): with
@@ -1231,7 +1242,7 @@ class DarcySolver:
                 atol=self.solver_cfg.absolute_tolerance,
                 restart_every=self.solver_cfg.restart_every,
             )
-            r_true = rhs_s - apply_S(p)
+            # r_true came out of the primal pcg (want_r_true above).
             Q = Q + jnp.sum(lam * r_true, axis=-1)
             from parelagmc_tpu.ops.solvers import SolveInfo
 

@@ -153,13 +153,19 @@ def _permute_config_axes(cfg: ProblemConfig, order) -> ProblemConfig:
     # permuted mesh frame (physical axis p lives at new index
     # order.index(p)). "auto"/"" pass through.
     solver = cfg.darcy_solver
-    la = getattr(solver, "coefmg_line_axes", "")
+    la = (getattr(solver, "coefmg_line_axes", "") or "").strip().lower()
     if la and la != "auto":
         letters = "xyz"[:d]
+        bad = sorted(set(c for c in la if c not in letters))
+        if bad:
+            raise ValueError(
+                f"coefmg_line_axes={la!r}: unknown axis letter(s) {bad}; "
+                f"expected a subset of {letters!r} or 'auto'"
+            )
         solver = dataclasses.replace(
             solver,
             coefmg_line_axes="".join(
-                letters[order.index(letters.index(c))] for c in la.lower()
+                letters[order.index(letters.index(c))] for c in la
             ),
         )
     return dataclasses.replace(

@@ -33,6 +33,18 @@ def test_resolve_axis_order_auto_spe10():
         resolve_axis_order((0, 0, 2), (4, 4, 4))
 
 
+def test_axis_order_rejects_bad_line_axes_letters():
+    """_permute_config_axes validates coefmg_line_axes letters instead of
+    crashing with an opaque ValueError from str.index (review r3)."""
+    cfg = ProblemConfig(
+        mesh="box", ncells=(2, 2, 2), refinements=1, dtype="float64",
+        axis_order=(1, 0, 2),
+    )
+    cfg.darcy_solver.coefmg_line_axes = "xq"
+    with pytest.raises(ValueError, match="unknown axis letter"):
+        build_problem(cfg)
+
+
 def test_permute_cell_field_indexing():
     """permute_cell_field must satisfy: value at (new layout flat index of
     cell (i0, i1, i2) in new axes) == value at original flat index of the

@@ -78,6 +78,73 @@ def test_pcg_jacobi_prec():
     np.testing.assert_allclose(np.asarray(x), b @ np.linalg.inv(A).T, atol=1e-7)
 
 
+def test_pcg_want_r_true_returns_final_residual():
+    rng = np.random.default_rng(21)
+    n, batch = 35, 3
+    A = random_spd(n, rng)
+    b = rng.normal(size=(batch, n))
+    Aj = jnp.asarray(A)
+    apply_A = lambda x: x @ Aj.T
+    x, info, r_true = pcg(
+        apply_A, jnp.asarray(b), max_iters=200, rtol=1e-11, want_r_true=True
+    )
+    # r_true is exactly b - A x at exit, and rel is derived from it.
+    np.testing.assert_allclose(
+        np.asarray(r_true), b - np.asarray(x) @ A.T, atol=1e-12
+    )
+    rel_ref = np.linalg.norm(np.asarray(r_true), axis=-1) / np.linalg.norm(
+        b, axis=-1
+    )
+    np.testing.assert_allclose(np.asarray(info.residual), rel_ref, rtol=1e-10)
+    assert bool(np.asarray(info.converged).all())
+
+
+def test_pcg_unconverged_row_gets_no_exit_slack():
+    # Mixed batch under a tiny iteration budget: the converged flag must be
+    # per-row honest, with the 4x exit slack granted only to rows whose
+    # recurrence actually claimed convergence.
+    rng = np.random.default_rng(22)
+    n = 40
+    A = random_spd(n, rng) + np.diag(np.linspace(1, 5e4, n))
+    b = rng.normal(size=(2, n))
+    b[0] = A @ np.ones(n)  # row 0: exact solution reachable quickly
+    Aj = jnp.asarray(A)
+    apply_A = lambda x: x @ Aj.T
+    # Tight tolerance + tiny budget: row 1 cannot converge.
+    x, info = pcg(apply_A, jnp.asarray(b), max_iters=4, rtol=1e-13)
+    conv = np.asarray(info.converged)
+    r_true = b - np.asarray(x) @ A.T
+    rel = np.linalg.norm(r_true, axis=-1) / np.linalg.norm(b, axis=-1)
+    assert not conv[rel > 1e-10].any()
+    # With a generous budget both rows converge and verify.
+    x2, info2, r2 = pcg(
+        apply_A, jnp.asarray(b), max_iters=500, rtol=1e-12, want_r_true=True
+    )
+    assert bool(np.asarray(info2.converged).all())
+
+
+def test_pcg_claim_at_budget_boundary_is_verified():
+    # A row whose recurrence crosses the threshold exactly on the
+    # max_iters-th iteration exits with it == max_iters; the converged flag
+    # must still be verified against the true residual (claimed-convergence
+    # trigger, review r3) rather than reported unverified/false.
+    rng = np.random.default_rng(23)
+    n = 30
+    A = random_spd(n, rng)
+    b = rng.normal(size=(1, n))
+    Aj = jnp.asarray(A)
+    apply_A = lambda x: x @ Aj.T
+    _, info_free = pcg(apply_A, jnp.asarray(b), max_iters=300, rtol=1e-10)
+    it_star = int(np.asarray(info_free.iterations))
+    assert it_star > 1
+    x, info = pcg(apply_A, jnp.asarray(b), max_iters=it_star, rtol=1e-10)
+    assert int(np.asarray(info.iterations)) == it_star
+    assert bool(np.asarray(info.converged).all())
+    r_true = b - np.asarray(x) @ A.T
+    rel = np.linalg.norm(r_true, axis=-1) / np.linalg.norm(b, axis=-1)
+    np.testing.assert_allclose(np.asarray(info.residual), rel, rtol=1e-5)
+
+
 def test_minres_saddle_vs_dense():
     rng = np.random.default_rng(4)
     nu, ns = 25, 10

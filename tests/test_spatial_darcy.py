@@ -84,8 +84,9 @@ def test_sharded_matches_unsharded(pad_case):
     rng = np.random.default_rng(1)
     w = jnp.asarray(np.exp(rng.normal(size=(3, hier.levels[0].n_s)) * 0.5))
     q_ref, _, info = solver.solve_fwd(0, w)
-    q_sp, iters, relres = sp.solve_fwd(w)
+    q_sp, iters, relres, conv = sp.solve_fwd(w)
     assert bool(np.asarray(info.converged).all())
+    assert bool(np.asarray(conv).all())
     assert float(np.max(np.asarray(relres))) < 1e-8
     np.testing.assert_allclose(
         np.asarray(q_sp), np.asarray(q_ref), rtol=1e-6, atol=1e-9
@@ -98,7 +99,7 @@ def test_sharded_flat_kinv_matches():
     rng = np.random.default_rng(2)
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.3))
     q_ref, _, _ = solver.solve_fwd(0, w)
-    q_sp, _, relres = sp.solve_fwd(w)
+    q_sp, _, relres, _ = sp.solve_fwd(w)
     assert float(np.max(np.asarray(relres))) < 1e-8
     np.testing.assert_allclose(np.asarray(q_sp), np.asarray(q_ref), rtol=1e-6)
 
@@ -140,7 +141,7 @@ def test_direct_construction_zeroes_essential_rhs():
     rng = np.random.default_rng(5)
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.3))
     q_ref, _, _ = solver.solve_fwd(0, w)
-    q, _, rel = sp.solve_fwd(w)
+    q, _, rel, _ = sp.solve_fwd(w)
     assert float(np.max(np.asarray(rel))) < 1e-8
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
 
@@ -154,9 +155,9 @@ def test_warm_start_and_pressure_return():
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
     q_ref, _, _, p_ref = solver.solve_fwd(0, w, return_pressure=True)
     sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
-    q, it, rel, p = sp.solve_fwd(w, return_pressure=True)
+    q, it, rel, _, p = sp.solve_fwd(w, return_pressure=True)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-7)
-    q2, it2, _ = sp.solve_fwd(w, p0=p_ref)
+    q2, it2, _, _ = sp.solve_fwd(w, p0=p_ref)
     assert int(np.max(np.asarray(it2))) == 0
     np.testing.assert_allclose(np.asarray(q2), np.asarray(q_ref), rtol=1e-9)
 
@@ -171,7 +172,7 @@ def test_sample_by_spatial_mesh():
     w = jnp.asarray(np.exp(rng.normal(size=(4, hier.levels[0].n_s)) * 0.5))
     q_ref, _, _ = solver.solve_fwd(0, w)
     sp = SpatialDarcy.from_darcy(solver, 0, n_sp=4, n_dp=2)
-    q, it, rel = sp.solve_fwd(w)
+    q, it, rel, _ = sp.solve_fwd(w)
     assert float(np.max(np.asarray(rel))) < 1e-8
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
     with pytest.raises(ValueError, match="multiple of n_dp"):
@@ -211,7 +212,8 @@ def test_slab_coefmg_preconditioner(ncells):
     assert (sp.global_mg is not None) == (ncells != (8, 16, 6))
     w = jnp.asarray(np.exp(rng.normal(size=(2, hier.levels[0].n_s)) * 0.5))
     q_ref, _, info = solver.solve_fwd(0, w)
-    q, it, rel = sp.solve_fwd(w)
+    q, it, rel, conv = sp.solve_fwd(w)
+    assert bool(np.asarray(conv).all())
     assert float(np.max(np.asarray(rel))) < 1e-9
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-6)
     assert int(np.max(np.asarray(it))) < 4 * int(np.asarray(info.iterations))
@@ -221,7 +223,7 @@ def test_slab_coefmg_preconditioner(ncells):
         cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
         sp16 = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
         assert sp16.mg_prec_dtype == "bfloat16"
-        q16, it16, _ = sp16.solve_fwd(w)
+        q16, it16, _, _ = sp16.solve_fwd(w)
         np.testing.assert_allclose(np.asarray(q16), np.asarray(q_ref), rtol=1e-6)
         assert int(np.max(np.asarray(it16))) <= int(
             np.max(np.asarray(it)) * 1.3 + 2
@@ -319,7 +321,7 @@ def test_spatial_adjoint_corrected_qoi():
     solver.solver_cfg.relative_tolerance = 1e-3
     sp = SpatialDarcy.from_darcy(solver, 0, n_sp=N_SP)
     q_plain = np.asarray(sp.solve_fwd(w)[0])
-    q_adj, it, rel, p, lam = sp.solve_fwd(
+    q_adj, it, rel, _, p, lam = sp.solve_fwd(
         w, adjoint=True, return_pressure=True
     )
     e_plain = np.max(np.abs(q_plain - q_true) / np.abs(q_true))
