@@ -76,3 +76,26 @@ class SampleMesh:
             out_specs=P(axis),
             check_vma=False,
         )
+
+    def shard_stage(self, stage_local: Callable) -> Callable:
+        """Lift a continuation stage over already-'dp'-sharded batch arrays
+        (pytree of (local_batch, ...) -> pytree of (local_batch, ...)) to
+        the global mesh.
+
+        Unlike `shard_step` there is no RNG key to fold: the inputs are a
+        previous stage's dp-sharded outputs (the split pair step's
+        device-to-device handoff, uq/managers._build_split_step). Every
+        output must be batch-led - scalar per-shard results such as Krylov
+        iteration counters have to be broadcast to the local batch inside
+        `stage_local` before they cross the shard_map boundary.
+        """
+        from jax import shard_map
+
+        axis = self.axis_name
+        return shard_map(
+            stage_local,
+            mesh=self.mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            check_vma=False,
+        )

@@ -181,27 +181,21 @@ class MLMCManager:
 
             split = (
                 getattr(self.config, "split_pair_programs", False)
-                and self.sharding is None
                 and hasattr(solver, "solve_fwd_warm")
             )
             if (
                 getattr(self.config, "split_pair_programs", False)
                 and not split
             ):
-                # The duration-limit guard cannot compose with sharded steps
-                # (yet); a silently-composed single program can hit the TPU
+                # A silently-composed single program can hit the TPU
                 # worker's execution-duration limit at SPE10 scale.
                 import warnings
 
                 warnings.warn(
-                    "split_pair_programs requested but unavailable "
-                    + (
-                        "with sharding"
-                        if self.sharding is not None
-                        else "for this solver"
-                    )
-                    + "; running the composed single-program pair step "
-                    "(watch the TPU execution-duration limit at scale)",
+                    "split_pair_programs requested but unavailable for this "
+                    "solver (no solve_fwd_warm); running the composed "
+                    "single-program pair step (watch the TPU "
+                    "execution-duration limit at scale)",
                     stacklevel=2,
                 )
             if split:
@@ -246,6 +240,13 @@ class MLMCManager:
         and solves the coarse problem; stage 2 warm-starts the fine solve
         from the prolongated coarse pressure. Device-to-device handoff, no
         host round-trip of fields.
+
+        With sample sharding each stage is itself one SPMD program over the
+        'dp' mesh (stage 1 folds the per-shard key exactly like the
+        composed sharded step; continuations run shard_map over the
+        dp-sharded handoff arrays). The host-side convergence check between
+        segments reduces over the GLOBAL batch, so every shard takes the
+        same continuation branch - no per-shard control-flow divergence.
 
         Iteration accounting caveat: each continuation segment adds pcg's
         batch-max while-loop count for the WHOLE batch, including members
@@ -323,17 +324,45 @@ class MLMCManager:
             return q, info_f.iterations, info_f.converged, p, None
 
         segments = max(1, int(getattr(self.config, "solve_segments", 1)))
-        j1 = jit_hoisted(stage1, self._key)
+        sm = self.sharding
+        # With sample sharding each stage runs as one SPMD program over the
+        # 'dp' mesh (stage 1 via shard_step - per-shard key fold identical
+        # to the composed sharded step - continuations via shard_stage over
+        # the already-sharded handoff arrays). Scalar iteration counters are
+        # broadcast to the local batch INSIDE the stage so every output is
+        # 'dp'-shardable; examples below are global-batch shaped.
+        if sm is not None:
+            def _bcast(out, pos):
+                out = list(out)
+                out[pos] = jnp_broadcast_iters(out[pos], batch)
+                return tuple(out)
+
+            _stage1 = sm.shard_step(lambda key: _bcast(stage1(key), 5))
+            _stage2 = sm.shard_stage(lambda *a: _bcast(stage2(*a), 1))
+            _stage_cont = sm.shard_stage(lambda *a: _bcast(stage_cont(*a), 1))
+            _stage1_cont = sm.shard_stage(
+                lambda *a: _bcast(stage1_cont(*a), 1)
+            )
+            gbatch = batch * sm.n_devices
+        else:
+            _stage1, _stage2 = stage1, stage2
+            _stage1_cont, _stage_cont = stage1_cont, stage_cont
+            gbatch = batch
+        j1 = jit_hoisted(_stage1, self._key)
         dtype = getattr(solver, "dtype", jnp.float32)
-        ex_sf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
-        ex_pc = jax.ShapeDtypeStruct((batch, solver.levels[level + 1].n_s), dtype)
+        ex_sf = jax.ShapeDtypeStruct((gbatch, solver.levels[level].n_s), dtype)
+        ex_pc = jax.ShapeDtypeStruct((gbatch, solver.levels[level + 1].n_s), dtype)
         ex_lc = ex_pc if adjoint else None
-        j2 = jit_hoisted(stage2, ex_sf, ex_pc, ex_lc)
-        ex_pf = jax.ShapeDtypeStruct((batch, solver.levels[level].n_s), dtype)
+        j2 = jit_hoisted(_stage2, ex_sf, ex_pc, ex_lc)
+        ex_pf = jax.ShapeDtypeStruct((gbatch, solver.levels[level].n_s), dtype)
         ex_lf = ex_pf if adjoint else None
-        j3 = jit_hoisted(stage_cont, ex_sf, ex_pf, ex_lf) if segments > 1 else None
+        j3 = (
+            jit_hoisted(_stage_cont, ex_sf, ex_pf, ex_lf)
+            if segments > 1
+            else None
+        )
         j1c = (
-            jit_hoisted(stage1_cont, ex_pc, ex_pc, ex_lc)
+            jit_hoisted(_stage1_cont, ex_pc, ex_pc, ex_lc)
             if segments > 1
             else None
         )
@@ -355,7 +384,9 @@ class MLMCManager:
                     break
                 q, it_f, conv, p, lam = j3(s_f, p, lam)
                 iters = iters + it_f
-            return q, qc, jnp_broadcast_iters(iters, batch)
+            # iters is a scalar sum unsharded, a (gbatch,) per-row array
+            # when sharded; broadcast_to handles both.
+            return q, qc, jnp_broadcast_iters(iters, gbatch)
 
         def aot_compile():
             j1.aot_compile()

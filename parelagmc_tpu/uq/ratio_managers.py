@@ -157,10 +157,7 @@ class BayesRatioManager:
                     prior.eval(level + 1, xi, xi_level=level),
                 )
 
-            split = (
-                getattr(self.config, "split_pair_programs", False)
-                and self.sharding is None
-            )
+            split = getattr(self.config, "split_pair_programs", False)
             if split:
                 # Run the Z (likelihood) and R streams as two device
                 # programs: the composed four-solve step exceeds the TPU
@@ -184,6 +181,13 @@ class BayesRatioManager:
                     rc, _ = prob.compute_R(level + 1, kr_c)
                     return r, rc
 
+                if self.sharding is not None:
+                    # Each stream is key-driven, so the sharded variant is
+                    # just shard_step around it: the per-shard key fold
+                    # happens first, then the stream's own split(key) -
+                    # identical RNG to the composed sharded step.
+                    z_stream = self.sharding.shard_step(z_stream)
+                    r_stream = self.sharding.shard_step(r_stream)
                 jz = jit_hoisted(z_stream, self._key)
                 jr = jit_hoisted(r_stream, self._key)
 

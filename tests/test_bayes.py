@@ -226,3 +226,23 @@ def test_ratio_with_spatial_sharding(tmp_path):
     est_ref = run(False)
     est_sp = run(True)
     np.testing.assert_allclose(est_sp, est_ref, rtol=1e-6)
+
+
+def test_ratio_split_programs_sharded(tmp_path):
+    """split_pair_programs + sample sharding on the ratio manager (r3):
+    the sharded Z/R stream programs fold the same per-shard key as the
+    composed sharded step, so the estimates agree to solver tolerance."""
+    from parelagmc_tpu.parallel import SampleMesh
+
+    results = []
+    for split in (False, True):
+        TimeManager.reset()
+        hier, prob, cfg = build_problem(
+            tmp_path, nlevels=2, split_pair_programs=split, seed=17
+        )
+        mgr = BayesRatioManager(prob, cfg, sharding=SampleMesh())
+        mgr.init_run([16] * mgr.nlevels)
+        results.append((mgr.E.copy(), mgr.varYR.copy(), mgr.varYZ.copy()))
+        mgr.close()
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)

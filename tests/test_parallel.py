@@ -74,3 +74,58 @@ def test_sharded_matches_unsharded_statistics(tmp_path):
     m2.init_run([256])
     se = np.sqrt(m1.varQ[0] / 256 + m2.varQ[0] / 256)
     assert abs(m1.eQ[0] - m2.eQ[0]) < 5 * se
+
+
+def test_sharded_split_pair_matches_composed(tmp_path):
+    """split_pair_programs composes with sample sharding (r3): the sharded
+    split pair step folds the same per-shard key and threads the same warm
+    start as the composed sharded step, so level statistics agree to
+    solver tolerance (XLA fuses differently across program boundaries)."""
+    TimeManager.reset()
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, 2)
+    results = []
+    for split in (False, True):
+        cfg = ProblemConfig(
+            refinements=1, mse=1e10, batch_size=16, initial_samples=16,
+            output_filename="", seed=5, split_pair_programs=split,
+        )
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        mgr = MLMCManager(solver, sampler, cfg, sharding=SampleMesh())
+        mgr.init_run([16, 16])
+        results.append((mgr.eY.copy(), mgr.eQ.copy(), mgr.varY.copy()))
+        mgr.close()
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12)
+
+
+def test_sharded_split_segments_continue(tmp_path):
+    """Sharded split pair step with bounded per-program iteration budgets:
+    both pair members continue across solve_segments on every shard (the
+    host-side convergence check reduces over the GLOBAL batch, so all
+    shards take the same continuation branch). Statistics match a deep
+    composed sharded reference to Krylov tolerance (cf. the unsharded
+    test_managers.test_split_pair_coarse_member_continues)."""
+    TimeManager.reset()
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, 2)
+
+    def run(split):
+        cfg = ProblemConfig(
+            refinements=1, mse=1e10, batch_size=16, initial_samples=16,
+            output_filename="", seed=9, split_pair_programs=split,
+            solve_segments=12 if split else 1,
+        )
+        if split:
+            cfg.darcy_solver.max_iterations = 10
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        mgr = MLMCManager(solver, sampler, cfg, sharding=SampleMesh())
+        mgr.init_run([16, 16])
+        out = (mgr.eY.copy(), mgr.eQ.copy())
+        mgr.close()
+        return out
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-8)
