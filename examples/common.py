@@ -78,6 +78,12 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
                    choices=["galerkin", "rediscretize"],
                    help="coarse Darcy coefficient operators "
                         "(config.coarse_operators)")
+    p.add_argument("--sample-shards", type=int, default=None,
+                   help="shard every estimator batch over this many "
+                        "devices on a 1D 'dp' sample mesh (-1 = all "
+                        "visible devices; config.sample_shards). The "
+                        "multi-chip data-parallel axis - mutually "
+                        "exclusive with --spatial-shards")
     p.add_argument("--spatial-shards", type=int, default=None,
                    help="shard each finest-level Darcy solve into this "
                         "many y-slabs over the device mesh (spatial "
@@ -127,6 +133,7 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         "coarse_operators": args.coarse_ops,
         "projection_order": args.projection_order,
         "axis_order": _axis_order(args.axis_order),
+        "sample_shards": args.sample_shards,
     }
     override = {k: v for k, v in override.items() if v is not None}
     if args.refinements is not None:

@@ -335,6 +335,13 @@ class ProblemConfig:
     # the managers). At SPE10 scale the finest level is HBM-bound while
     # coarse levels want large batches for MXU occupancy.
     batch_size_per_level: Optional[List[int]] = None
+    # Manager-level sample parallelism: shard every estimator batch over
+    # this many devices on a 1D 'dp' jax.sharding.Mesh (parallel.SampleMesh;
+    # the reference's per-rank sample loop becomes data parallelism,
+    # SURVEY.md 2.3). 0 = off, -1 = all visible devices. Mutually exclusive
+    # with darcy_solver.spatial_shards (that path builds its own composed
+    # (dp, sp) mesh via spatial_sample_shards).
+    sample_shards: int = 0
     dtype: str = "float32"  # device dtype; host verification can use float64
     # Run each MLMC pair step as TWO device programs (coarse solve, then
     # warm-started fine solve) instead of one composed program. Needed at

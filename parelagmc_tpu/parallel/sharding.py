@@ -38,6 +38,29 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def sample_mesh_from_config(config) -> Optional["SampleMesh"]:
+    """Build the manager-level SampleMesh requested by
+    `config.sample_shards` (0/1 = off, -1 = every visible device), or None.
+
+    The single consumption point for the config/CLI surface
+    (`--sample-shards` in examples/common.py): every estimator manager
+    calls this when no explicit `sharding=` is passed, so multi-chip data
+    parallelism is reachable from all drivers without per-driver plumbing.
+    """
+    n = int(getattr(config, "sample_shards", 0) or 0)
+    if n in (0, 1):
+        return None
+    devices = jax.devices()
+    if n == -1:
+        n = len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"config.sample_shards={n} but only {len(devices)} device(s) "
+            f"are visible"
+        )
+    return SampleMesh(devices=devices[:n])
+
+
 class SampleMesh:
     def __init__(self, devices: Optional[Sequence] = None, axis_name: str = "dp"):
         if devices is None:

@@ -67,6 +67,13 @@ class MLMCManager:
         self.solver = solver
         self.sampler = sampler
         self.config = config
+        if sharding is None:
+            # config.sample_shards (the --sample-shards CLI surface): build
+            # the 'dp' mesh here so every driver gets multi-chip sample
+            # parallelism without constructing a SampleMesh itself.
+            from parelagmc_tpu.parallel.sharding import sample_mesh_from_config
+
+            sharding = sample_mesh_from_config(config)
         self.sharding = sharding
         if sharding is not None and int(
             getattr(config.darcy_solver, "spatial_shards", 0) or 0

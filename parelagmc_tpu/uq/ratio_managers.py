@@ -55,6 +55,11 @@ class BayesRatioManager:
         self.problem = problem
         self.config = config
         self.splitting = bool(splitting)
+        if sharding is None:
+            # config.sample_shards / --sample-shards (cf. MLMCManager).
+            from parelagmc_tpu.parallel.sharding import sample_mesh_from_config
+
+            sharding = sample_mesh_from_config(config)
         self.sharding = sharding
         if sharding is not None and int(
             getattr(config.darcy_solver, "spatial_shards", 0) or 0

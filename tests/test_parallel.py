@@ -129,3 +129,57 @@ def test_sharded_split_segments_continue(tmp_path):
 
     for a, b in zip(run(False), run(True)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-8)
+
+
+def test_sample_shards_config_surface(tmp_path):
+    """config.sample_shards (the --sample-shards CLI flag) makes every
+    manager build its own 'dp' SampleMesh: -1 = all visible devices; the
+    statistics match an explicitly-sharded manager exactly (same mesh,
+    same per-shard key folds)."""
+    TimeManager.reset()
+    mesh = make_box_mesh((2, 2, 2), lengths=(2.0, 2.0, 2.0))
+    hier = build_geometric_hierarchy(mesh, 2)
+
+    def run(sample_shards, sharding):
+        cfg = ProblemConfig(
+            refinements=1, mse=1e10, batch_size=16, initial_samples=16,
+            output_filename="", seed=3, sample_shards=sample_shards,
+        )
+        sampler = SPDESampler(hier, cfg, DT)
+        solver = DarcySolver(hier, cfg, DT)
+        mgr = MLMCManager(solver, sampler, cfg, sharding=sharding)
+        assert (mgr.sharding is not None) == (
+            sample_shards == -1 or sharding is not None
+        )
+        if mgr.sharding is not None:
+            assert mgr.sharding.n_devices == 8
+        mgr.init_run([16, 16])
+        out = (mgr.eY.copy(), mgr.eQ.copy())
+        mgr.close()
+        return out
+
+    a = run(-1, None)           # config-driven mesh
+    b = run(0, SampleMesh())    # explicit mesh
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, rtol=1e-12, atol=1e-14)
+
+    # Guard: sample sharding cannot nest around spatial decomposition.
+    cfg = ProblemConfig(
+        refinements=1, mse=1e10, batch_size=16, output_filename="",
+        sample_shards=-1,
+    )
+    cfg.darcy_solver.spatial_shards = 2
+    sampler = SPDESampler(hier, cfg, DT)
+    solver = DarcySolver(hier, cfg, DT)
+    with pytest.raises(ValueError, match="spatial_shards"):
+        MLMCManager(solver, sampler, cfg)
+
+    # Too many shards for the visible devices is an explicit error.
+    cfg2 = ProblemConfig(
+        refinements=1, mse=1e10, batch_size=16, output_filename="",
+        sample_shards=16,
+    )
+    sampler2 = SPDESampler(hier, cfg2, DT)
+    solver2 = DarcySolver(hier, cfg2, DT)
+    with pytest.raises(ValueError, match="sample_shards"):
+        MLMCManager(solver2, sampler2, cfg2)
