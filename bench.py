@@ -185,5 +185,29 @@ def _scipy_baseline(hier, solver, nmeas: int = 3) -> float:
     return 1.0 / per_sample
 
 
+def _outage_watchdog(seconds: int = 520) -> None:
+    """Fail loudly (not silently hang) if the TPU tunnel is in its outage
+    mode: device enumeration succeeds but every compile/execute RPC hangs
+    indefinitely (observed 2026-08-18 and 2026-08-20, see CLAUDE.md). A
+    driver-side kill leaves an empty capture; this prints the diagnosis to
+    stderr and exits nonzero so the recorded tail explains the absence."""
+    import signal
+
+    def bail(signum, frame):
+        print(
+            "# !! bench watchdog: no TPU result after "
+            f"{seconds}s - axon tunnel outage mode (device enumerates, "
+            "execution hangs; exit 124/143 on a tiny matmul probe confirms)."
+            " No JSON line emitted: this capture reflects the tunnel, not "
+            "the framework.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+    signal.signal(signal.SIGALRM, bail)
+    signal.alarm(seconds)
+
+
 if __name__ == "__main__":
+    _outage_watchdog()
     main()
