@@ -81,11 +81,14 @@ def full_grid_solver_defaults(cfg, argv):
         cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
     # HBM-bound finest batch, throughput-sized coarse batches (16G
     # v5e; the full grid's finest level is 4.5M Darcy dofs at any
-    # nlevels). Measured on-chip (r3): level-1 pair 61 -> 32.5
-    # ms/sample going 64 -> 128 (batch 256 exceeds HBM), level-2
-    # solve 7.3 -> 3.5 ms/sample going 64 -> 512. With the r3
-    # multilevel rates the optimal N_l allocation is coarse-heavy,
-    # so the coarse-level batches dominate total walltime.
+    # nlevels). Healthy production costs (r4 recapture, 1024
+    # samples/level): C_l = 53.3 / 10.5 / 1.9 ms/sample, level-1
+    # steady state 0.77 s/batch at batch 128 (the r3 note claiming
+    # 32.5 ms/sample at level 1 measured the since-fixed batch-global
+    # convergence gate tripping continuation segments every batch -
+    # see SPE10_MLMC_EVIDENCE.txt forensics). With these rates the
+    # optimal N_l allocation is coarse-heavy, so the coarse-level
+    # batches dominate total walltime.
     cfg.batch_size_per_level = [8, 128] + [512] * (cfg.nlevels - 2)
     return cfg
 

@@ -50,6 +50,12 @@ def sample_mesh_from_config(config) -> Optional["SampleMesh"]:
     n = int(getattr(config, "sample_shards", 0) or 0)
     if n in (0, 1):
         return None
+    if n < -1:
+        # Without this, e.g. -2 would slip through and devices[:-2] below
+        # would silently shard over all-but-two devices (advisor finding r3).
+        raise ValueError(
+            f"config.sample_shards={n} is invalid (use -1 for all devices)"
+        )
     devices = jax.devices()
     if n == -1:
         n = len(devices)

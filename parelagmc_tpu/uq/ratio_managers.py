@@ -345,7 +345,9 @@ class BayesRatioManager:
         self.alpha_Z = exp_weighted_regression(self.E[:, YZ], self.M, 1)
         self.alphaABS_Z = exp_weighted_regression(self.E[:, ABS_YZ], self.M, 1)
         self.beta_Z = exp_weighted_regression(self.varYZ, self.M, 1)
-        self.gamma = exp_weighted_regression(self.cost, self.M, 0)
+        # Cost GROWTH rate, reference raw-slope convention (see
+        # uq/managers.py compute_nsamples_mse gamma note).
+        self.gamma = -exp_weighted_regression(self.cost, self.M, 0)
 
         def bias2(eabs, aabs):
             # Positive-rate convention (exp_weighted_regression returns the

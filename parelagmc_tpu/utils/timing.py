@@ -20,11 +20,12 @@ from typing import Dict
 
 
 class _Watch:
-    __slots__ = ("elapsed", "count")
+    __slots__ = ("elapsed", "count", "last")
 
     def __init__(self) -> None:
         self.elapsed = 0.0
         self.count = 0
+        self.last = 0.0
 
 
 class TimeManager:
@@ -49,6 +50,12 @@ class TimeManager:
         return w.elapsed if w is not None else 0.0
 
     @classmethod
+    def last(cls, name: str) -> float:
+        """Seconds of the most recent timed region for `name` (0.0 if unused)."""
+        w = cls._watches.get(name)
+        return w.last if w is not None else 0.0
+
+    @classmethod
     @contextmanager
     def timed(cls, name: str, block=None):
         """Context manager accumulating wall time into timer `name`.
@@ -65,7 +72,8 @@ class TimeManager:
             if block is not None:
                 out = block() if callable(block) else block
                 _block_until_ready(out)
-            w.elapsed += time.perf_counter() - t0
+            w.last = time.perf_counter() - t0
+            w.elapsed += w.last
             w.count += 1
 
     @classmethod

@@ -64,17 +64,39 @@ def test_mlmc_driver(capsys, tmp_path, monkeypatch):
 
 def test_mlmc_golden_estimate(capsys, tmp_path, monkeypatch):
     """The reference's MLMC_PDESampler golden: estimate 2.5599 on the golden
-    config (examples/CMakeLists.txt:76-80). Fixed-seed f64 CPU run must land
-    within +-0.1 of it (round-1 VERDICT item 7; statistical rmse at
-    mse=2e-3 is ~0.045)."""
-    monkeypatch.chdir(tmp_path)
-    from examples import mlmc
+    config (examples/CMakeLists.txt:76-80). Round-3 VERDICT item 7: the band
+    is derived from the error model instead of the old hand-waved 0.1.
 
-    est = mlmc.main(
+    Both estimators are unbiased for E[Q_0] on the SAME hierarchy (the
+    telescoped MLMC estimate targets the finest-level expectation, so
+    discretization bias cancels in the comparison; the manager's
+    E[|Y|]-extrapolated bias model is NOT applicable here - on this config
+    the Y-means grow toward the fine level, alphaABS < 0, and that formula
+    diverges). The difference is purely statistical:
+      band = 3*sqrt(our ml_estimator_variance)                 [our noise]
+           + 3*sqrt(ratio * eps2_ref)                          [their noise]
+    with the reference capture's bound from its defaults eps2=1e-3,
+    ratio=0.5 (MLMC_Manager.cpp:30,32: Run() exits only when
+    ml_estimator_variance <= ratio*eps2). A variance regression cannot
+    hide: the band shrinks with the measured variance."""
+    monkeypatch.chdir(tmp_path)
+    from examples.common import parse_config
+    from parelagmc_tpu.problems import build_problem
+    from parelagmc_tpu.uq import MLMCManager
+
+    cfg = parse_config(
         ["--refinements", "2", "--dtype", "float64", "--seed", "0",
          "--mse", "0.002", "--samples", "32", "--batch", "32"]
     )
-    assert abs(est - 2.5599) < 0.1, est
+    prob = build_problem(cfg)
+    mgr = MLMCManager(prob.solver, prob.sampler, cfg)
+    est = mgr.run()
+    mgr.close()
+    assert mgr.ml_estimator_variance <= mgr.ratio * mgr.eps2  # run converged
+    ref_sigma_bound = np.sqrt(0.5 * 1e-3)  # reference capture's exit bound
+    band = 3.0 * np.sqrt(mgr.ml_estimator_variance) + 3.0 * ref_sigma_bound
+    assert band < 0.15, (band, mgr.ml_estimator_variance)
+    assert abs(est - 2.5599) < band, (est, band)
 
 
 def test_slmc_driver(capsys, tmp_path, monkeypatch):
