@@ -140,6 +140,39 @@ def mortar_p1_p0_couple(gm1: GeneralMesh, gm2: GeneralMesh, tol: float = 1e-12):
     return B, lump
 
 
+def rt0_interpolate_constant(lvl, vec: np.ndarray) -> np.ndarray:
+    """Exact RT0 interpolant of the constant vector field `vec`: dof i is
+    the flux of `vec` through face i along the face's global orientation
+    (outward from its owner element, `face_cells[:, 0]`). Demo/validation
+    helper for the velocity mortar transfer - constants are in RT0 on any
+    simplicial mesh, so a mortar L2 projection must reproduce them exactly
+    (the same exactness class the reference's VectorL2MortarIntegrator
+    tests rely on, MortarIntegrator.hpp:77-111)."""
+    gm = lvl.mesh
+    d = gm.dim
+    conn = np.stack(gm.elements)
+    nloc = d + 1
+    local_faces = [[j for j in range(nloc) if j != i] for i in range(nloc)]
+    dofs = np.zeros(lvl.n_u)
+    owner = lvl.face_cells[:, 0]
+    vec = np.asarray(vec, dtype=np.float64)[:d]
+    for i, lf in enumerate(local_faces):
+        fids = lvl.cell_faces[:, i]
+        is_owner = owner[fids] == np.arange(conn.shape[0])
+        q = gm.vertices[conn[:, lf]]  # (ne, d, d) face vertices
+        if d == 3:
+            nvec = 0.5 * np.cross(q[:, 1] - q[:, 0], q[:, 2] - q[:, 0])
+        else:
+            e = q[:, 1] - q[:, 0]
+            nvec = np.stack([e[:, 1], -e[:, 0]], axis=1)  # length-scaled
+        cen = q.mean(axis=1)
+        opp = gm.vertices[conn[:, i]]
+        out = np.sign(np.einsum("ed,ed->e", cen - opp, nvec))
+        flux = (nvec @ vec) * out
+        dofs[fids[is_owner]] = flux[is_owner]
+    return dofs
+
+
 def mortar_rt0_couple(lvl1, lvl2, tol: float = 1e-12):
     """Vector RT0-RT0 mortar coupling B[face_i, face_j] =
     int phi_i . psi_j over the mesh intersection - the reference's

@@ -537,6 +537,57 @@ class UnstructuredProjectionSPDESampler(UnstructuredSPDESampler):
     def field_size(self, level: int) -> int:
         return self.orig_hierarchy.levels[level].n_s
 
+    def transfer_velocity(
+        self,
+        level: int,
+        u_embed: jnp.ndarray,
+        rtol: float = 1e-8,
+        max_iterations: int = 60,
+    ):
+        """Mortar L2 projection of an RT0 (H(div)) velocity/flux field from
+        the embedded mesh to the original mesh:
+
+            v = CG(M_orig)^{-1} . B_rt . u_embed
+
+        - the reference's ParMortarAssembler::Transfer with is_vector_fe
+        (ParMortarAssembler.cpp:1146-1255: dest = CG(D)^{-1} B src with D
+        the slave-space VectorFEMass matrix), its element-pair integrals
+        being VectorL2MortarIntegrator (MortarIntegrator.hpp:77-111).
+        B_rt is assembled once on host by the exact closed-form RT0-RT0
+        mortar integrator over the native mesh intersection
+        (transfer_integrators.mortar_rt0_couple) and applied as a static
+        ELL operator; the well-conditioned RT0 mass is inverted by
+        Jacobi-PCG on device. Returns (v, SolveInfo).
+
+        `u_embed` is (n_u_embed,) or (batch, n_u_embed) in the embedded
+        level's face-dof numbering; the result is in the original level's.
+        """
+        ops = getattr(self, "_vel_ops", None)
+        if ops is None:
+            ops = self._vel_ops = {}
+        if level not in ops:
+            from parelagmc_tpu.transfer_integrators import mortar_rt0_couple
+
+            ol = self.orig_hierarchy.levels[level]
+            el = self.hierarchy.levels[level]
+            B = mortar_rt0_couple(ol, el).tocsr()
+            M = ol.mass_csr().tocsr()
+            ops[level] = (
+                pack_csr_to_ell(B, self.dtype),
+                pack_csr_to_ell(M, self.dtype),
+                jnp.asarray(1.0 / M.diagonal(), dtype=self.dtype),
+            )
+        B_ell, M_ell, dinv = ops[level]
+        rhs = ell_apply(B_ell, u_embed)
+        v, info = pcg(
+            lambda x: ell_apply(M_ell, x),
+            rhs,
+            prec=lambda r: dinv * r,
+            max_iters=max_iterations,
+            rtol=rtol,
+        )
+        return v, info
+
     def project(self, level: int, s_embed: jnp.ndarray) -> jnp.ndarray:
         s_v = self.winv_orig[level] * ell_apply(self.G[level], s_embed)
         if self.projection_order == 1:
