@@ -102,6 +102,10 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
                         "to the dataclass field's type; the analog of the "
                         "reference's preconditioner ParameterList blocks, "
                         "src/Utilities.cpp)")
+    p.add_argument("--output", default=None,
+                   help="per-sample .dat log filename for the MC managers "
+                        "(config.output_filename; reference 'Output "
+                        "filename for MC managers')")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -134,6 +138,7 @@ def parse_config(argv=None, **defaults) -> ProblemConfig:
         "projection_order": args.projection_order,
         "axis_order": _axis_order(args.axis_order),
         "sample_shards": args.sample_shards,
+        "output_filename": args.output,
     }
     override = {k: v for k, v in override.items() if v is not None}
     if args.refinements is not None:

@@ -133,9 +133,12 @@ def main(argv=None):
         ),
     }
 
-    def capture(tag, sp):
-        q, it, rel, conv = sp.solve_fwd(w)
-        key = (1, False, False, False, False)
+    def capture(tag, sp, adjoint=False):
+        if adjoint:
+            q, it, rel, conv = sp.solve_fwd(w, adjoint=True)
+        else:
+            q, it, rel, conv = sp.solve_fwd(w)
+        key = (1, False, False, adjoint, False)
         mem = (
             sp._jit_solve[key]
             .lower(sp.grids, sp._to_grid(w, 1.0))
@@ -158,6 +161,23 @@ def main(argv=None):
     )
     sp_mg = SpatialDarcy.from_darcy(solver, 0, n_sp=args.shards)
     capture("sharded-coefmg-2level", sp_mg)
+    # PRODUCTION configuration (round-3 VERDICT item 5): the adjoint-
+    # corrected QoI inside the sharded solve - what an SPE10-scale sp run
+    # actually uses (config.adjoint_qoi; QoI error = product of the primal
+    # and adjoint residuals, so the loose rtol stays QoI-valid where the
+    # plain rows above carry the full contrast-amplified residual error).
+    # Scored against the same deep truth; compare with the replicated
+    # adjoint row for the sharding-is-free check.
+    adj_rep = solver_for("cg-schur-coefmg")
+    adj_rep.solver_cfg = dataclasses.replace(adj_rep.solver_cfg, adjoint_qoi=True)
+    q_arep, _, info_arep = adj_rep.solve_fwd(0, w)
+    results["runs"]["replicated-adjoint"] = {
+        "iterations": int(np.asarray(info_arep.iterations)),
+        "qoi_rel_err_vs_deep": float(
+            np.max(np.abs((np.asarray(q_arep) - q_true) / q_true))
+        ),
+    }
+    capture("sharded-adjoint", sp_mg, adjoint=True)
     results["runs"]["sharded-coefmg-2level"]["handoff_level"] = sp_mg.k_handoff
     # Tight-rtol sharded run: the flux QoI needs ~1e-7 residuals at this
     # contrast regardless of preconditioner; report the cost of honesty.
@@ -181,7 +201,7 @@ def main(argv=None):
           f"{'dQ/Q vs deep':>13s}")
     for tag, r in results["runs"].items():
         print(f"{tag:30s} {r['iterations']:6d} "
-              f"{r['temp_mb_per_device']:12.1f} "
+              f"{r.get('temp_mb_per_device', float('nan')):12.1f} "
               f"{r['qoi_rel_err_vs_deep']:13.1e}")
     print(f"written: {args.out}")
 

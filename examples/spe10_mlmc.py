@@ -95,6 +95,9 @@ def full_grid_solver_defaults(cfg, argv):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    adaptive = "--adaptive" in argv
+    if adaptive:
+        argv.remove("--adaptive")
     perm_file = None
     if "--perm-file" in argv:
         i = argv.index("--perm-file")
@@ -144,7 +147,23 @@ def main(argv=None):
         full_grid_solver_defaults(cfg, argv)
     prob = build_problem(cfg, kinv_ref=kinv)
     mgr = MLMCManager(prob.solver, prob.sampler, cfg)
-    mgr.init_run([cfg.initial_samples] * cfg.nlevels)
+    if adaptive:
+        # The reference's headline mode (MLMC_Manager::Run,
+        # MLMC_Manager.cpp:181-214): initial samples estimate the rates,
+        # then compute_nsamples_mse drives per-level N_l from the measured
+        # V_l / C_l until ml_estimator_variance <= ratio * eps2 (with
+        # --mse -1, eps2 auto-set from the rate-extrapolated bias each
+        # round, MLMC_Manager.cpp:357-358).
+        est = mgr.run()
+        print(
+            f"-- adaptive: estimate {est:.6g}, target eps2 {mgr.eps2:.6g}, "
+            f"actual MSE {mgr.actual_mse:.6g} "
+            f"(sampling var {mgr.ml_estimator_variance:.6g} <= "
+            f"{mgr.ratio:.2f}*eps2 = {mgr.ratio * mgr.eps2:.6g}), "
+            f"N_l = {list(mgr.level_nsamples)}"
+        )
+    else:
+        mgr.init_run([cfg.initial_samples] * cfg.nlevels)
     print(mgr.show_me())
     TimeManager.print_table()
     mgr.close()

