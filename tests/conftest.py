@@ -23,3 +23,28 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark the measured-slow node IDs from tests/slow_tests.txt with
+    @pytest.mark.slow so `-m "not slow"` is a mechanical ~15-min fast
+    default (round-3 VERDICT item 8; full suite stays the round gate).
+    Parametrized tests are matched by their base node ID too, so a new
+    parametrization of a slow test stays tagged."""
+    import os
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        slow = {
+            line.strip() for line in f
+            if line.strip() and not line.startswith("#")
+        }
+    bases = {s.split("[", 1)[0] for s in slow}
+    for item in items:
+        nid = item.nodeid
+        if nid in slow or nid.split("[", 1)[0] in bases:
+            item.add_marker(pytest.mark.slow)
