@@ -79,6 +79,16 @@ def full_grid_solver_defaults(cfg, argv):
         cfg.darcy_solver.coefmg_cheby_lo = 0.10
     if "coefmg_prec_dtype" not in user_opts:
         cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
+    if "meanfield_x0" not in user_opts:
+        # Warm-start cold solves from the cached mean-field solution.
+        # Measured at full scale (r4, /tmp A/B via spe10_performance):
+        # coarsest-Q 0.496 -> 0.277 ms/sample (1.79x, iterations 43.75 ->
+        # 23) - the level carrying ~97% of the optimal-N_l samples - and
+        # level-0 pair iterations 51.5 -> 24.5. Estimator-neutral:
+        # counter-aligned paired Y on the production stream agrees to rms
+        # 0.033 (0.07% of Var[Y_0], corr 0.9997), Q to 7.7e-4
+        # (SPE10_MLMC_EVIDENCE.txt r4 notes).
+        cfg.darcy_solver.meanfield_x0 = True
     # HBM-bound finest batch, throughput-sized coarse batches (16G
     # v5e; the full grid's finest level is 4.5M Darcy dofs at any
     # nlevels). Healthy production costs (r4 recapture, 1024

@@ -43,6 +43,8 @@ decouple into tridiagonal lines (ops/mass_solve.py docstring).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -52,10 +54,35 @@ import numpy as np
 _LANE = 128
 _SUBLANE = 8
 
+# Pallas kernels cannot be traced under jax.ensure_compile_time_eval():
+# values created inside the kernel (loop bounds, zero carries) materialize
+# as CONCRETE arrays and pallas_call rejects kernels that capture
+# constants (measured 2026-08-20 on the meanfield_x0 setup solve, which
+# runs its one-time reference solve inside that escape hatch). Callers
+# that trace under compile-time eval wrap the region in force_scan(); the
+# solve then routes to the lax.scan Thomas path - one-time setup cost,
+# identical results (oracle-tested against the kernel).
+_FORCE_SCAN = contextvars.ContextVar("tridiag_force_scan", default=False)
+
+
+@contextlib.contextmanager
+def force_scan():
+    tok = _FORCE_SCAN.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_SCAN.reset(tok)
+
 
 def _thomas_kernel(dl_ref, d_ref, du_ref, b_ref, x_ref, c_ref, g_ref):
     n = dl_ref.shape[0]
-    zero = jnp.zeros(dl_ref.shape[1:], dl_ref.dtype)
+    # Derive the zero carry from a ref so it is always a kernel-trace
+    # value: a literal jnp.zeros here becomes a CONCRETE array when the
+    # enclosing program runs under jax.ensure_compile_time_eval() (the
+    # meanfield_x0 setup path), and Pallas TPU rejects kernels that
+    # capture constants ("captures constants [f32[8,128]]", measured
+    # 2026-08-20 on the meanfield_x0 at-scale A/B).
+    zero = dl_ref[0] * 0.0
 
     def fwd(i, carry):
         c_prev, g_prev = carry
@@ -86,6 +113,10 @@ def tridiag_thomas_pallas(dl, d, du, b, *, block_lines: int = 1024,
     single TPU kernel. On CPU backends the kernel runs in interpreter
     mode (correctness only; the scan path is the CPU fast path).
     """
+    if _FORCE_SCAN.get():
+        from parelagmc_tpu.ops.mass_solve import _thomas_solve
+
+        return _thomas_solve(dl, d, du, b)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if block_lines % (_SUBLANE * _LANE) != 0:

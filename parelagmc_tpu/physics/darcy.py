@@ -782,7 +782,12 @@ class DarcySolver:
             return self._mf_cache[level]
         L = self.levels[level]
         adjoint = getattr(self.solver_cfg, "adjoint_qoi", False)
-        with jax.ensure_compile_time_eval():
+        from parelagmc_tpu.ops.tridiag_pallas import force_scan
+
+        # force_scan: Pallas kernels cannot trace under compile-time eval
+        # (captured-constant rejection; see ops/tridiag_pallas.py). The
+        # scan path costs more on this ONE-TIME setup solve only.
+        with jax.ensure_compile_time_eval(), force_scan():
             ones = jnp.ones((1, L.n_s), dtype=self.dtype)
             out = self._solve_cg_schur(
                 L, ones, True, return_adjoint=adjoint
@@ -797,7 +802,13 @@ class DarcySolver:
                 )
                 info, p = out[2], out[3]
                 lam = out[4] if adjoint else None
-        entry = (p[0], lam[0] if lam is not None else None)
+            # Index INSIDE the compile-time-eval scope: outside it, p[0] on
+            # the concrete result would create a tracer of the ambient jit
+            # trace, and caching that tracer leaks it into every later
+            # trace (UnexpectedTracerError on the next program; measured
+            # 2026-08-20 on the level-2 coarsest-Q program after the
+            # level-1 pair populated the cache).
+            entry = (p[0], lam[0] if lam is not None else None)
         self._mf_cache[level] = entry
         return entry
 

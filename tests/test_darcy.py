@@ -602,3 +602,17 @@ def test_meanfield_x0_first_call_under_jit():
     # Adjoint-corrected vs plain QoI at finite Krylov tolerance: agreement
     # to ~1e-4 relative is the expected band at this contrast.
     np.testing.assert_allclose(np.asarray(q_j), np.asarray(q_r), rtol=1e-3)
+    # Regression (measured at SPE10 scale 2026-08-20): the cache entry
+    # filled during ONE jit trace must be reusable from a DIFFERENT later
+    # trace - indexing the setup solution outside the compile-time-eval
+    # scope cached an ambient-trace tracer and the second program died
+    # with UnexpectedTracerError. Trace a fresh program per level that
+    # reuses the now-populated cache.
+    for lvl in (0, 1):
+        xi_l = prob.sampler.sample(lvl, jax.random.PRNGKey(7), 2)
+        s_l = jnp.asarray(np.asarray(prob.sampler.eval(lvl, xi_l)))
+        q2, _, info2 = jax.jit(
+            lambda w, lvl=lvl: prob.solver.solve_fwd(lvl, w)
+        )(s_l)
+        assert bool(np.asarray(info2.converged).all())
+        assert np.isfinite(np.asarray(q2)).all()
