@@ -79,16 +79,16 @@ def full_grid_solver_defaults(cfg, argv):
         cfg.darcy_solver.coefmg_cheby_lo = 0.10
     if "coefmg_prec_dtype" not in user_opts:
         cfg.darcy_solver.coefmg_prec_dtype = "bfloat16"
-    if "adjoint_stacked" not in user_opts:
-        # One stacked batched PCG for the primal+adjoint pair instead of
-        # two sequential solves (per-sample preconditioner state streamed
-        # once per iteration for both systems). Measured at full scale
-        # (r4, 256-sample paired legs, identical stream):
-        # C_l 95.4/27.2/3.07 -> 72.5/19.5/2.29 ms/sample (1.32-1.39x on
-        # EVERY level); estimator-neutral to rms dY <= 0.016 (0.02% of
-        # Var, corr >= 0.9999), estimate 111.708 both legs, consistency
-        # unchanged (SPE10_STACKED_EVIDENCE.json).
-        cfg.darcy_solver.adjoint_stacked = True
+    # adjoint_stacked stays OFF: the 256-sample paired legs that first
+    # suggested a 1.3-1.4x win were contaminated by variable first-
+    # execution overheads (5-19 s/program on this tunnel); the clean
+    # 1024-sample steady-state traces (PARELAGMC_BATCH_TRACE, r4,
+    # SPE10_STACKED_EVIDENCE.json) show stacked LOSES at levels 0-1
+    # (53.1/9.40 vs 43.4/6.06 ms/sample sequential+meanfield) - the
+    # stacked trip doubles the rhs work and only the bandwidth argument
+    # at level 2 survives (0.76 vs 0.46: meanfield alone is better
+    # there too). Estimator-neutral either way; opt in per run with
+    # --solver-opt adjoint_stacked=true.
     if "meanfield_x0" not in user_opts:
         # Warm-start cold solves from the cached mean-field solution.
         # Measured at full scale (r4, /tmp A/B via spe10_performance):
