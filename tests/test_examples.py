@@ -207,8 +207,22 @@ def test_spe10_full_grid_solver_defaults():
     assert ds.max_iterations == 75
     assert ds.coefmg_cheby_order == 3 and ds.coefmg_cheby_lo == 0.10
     assert ds.coefmg_prec_dtype == "bfloat16"
+    # r4 steady-state decisions (SPE10_MEANFIELD_EVIDENCE.json /
+    # SPE10_STACKED_EVIDENCE.json): mean-field warm starts ON (wins every
+    # level), stacked adjoint OFF (loses at levels 0-1 in steady state -
+    # the few-batch C_l that briefly crowned it was overhead noise).
+    assert ds.meanfield_x0
+    assert not ds.adjoint_stacked
     assert cfg.split_pair_programs and cfg.solve_segments == 4
     assert cfg.batch_size_per_level[:2] == [8, 128]
+
+    # meanfield_x0 / adjoint_stacked overrides must win like every other.
+    argv = ["--solver-opt", "meanfield_x0=false",
+            "--solver-opt", "adjoint_stacked=true"]
+    ds = full_grid_solver_defaults(parse_config(list(argv), mesh="spe10"),
+                                   argv).darcy_solver
+    assert not ds.meanfield_x0
+    assert ds.adjoint_stacked
 
     # Disabling the adjoint QoI falls back to the plain-path guards.
     argv = ["--solver-opt", "adjoint_qoi=false"]
