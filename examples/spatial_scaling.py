@@ -190,10 +190,15 @@ def main(argv=None):
         SpatialDarcy.from_darcy(tight, 0, n_sp=args.shards),
     )
     if args.shards % 2 == 0 and args.batch % 2 == 0:
-        capture(
-            "sharded-dpxsp-coefmg",
-            SpatialDarcy.from_darcy(solver, 0, n_sp=args.shards // 2, n_dp=2),
+        sp_dpxsp = SpatialDarcy.from_darcy(
+            solver, 0, n_sp=args.shards // 2, n_dp=2
         )
+        capture("sharded-dpxsp-coefmg", sp_dpxsp)
+        # PRODUCTION composed row (round-4 VERDICT weak item 1): the
+        # adjoint-corrected QoI through the composed (dp, sp) mesh - the
+        # plain dpxsp row above carries the contrast-amplified residual
+        # error (~0.1 at rtol 1e-5) that the adjoint correction removes.
+        capture("sharded-dpxsp-adjoint", sp_dpxsp, adjoint=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -187,6 +187,7 @@ def main(argv=None):
     print(mgr.show_me())
     TimeManager.print_table()
     mgr.close()
+    return mgr
 
 
 if __name__ == "__main__":

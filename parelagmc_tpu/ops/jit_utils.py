@@ -58,5 +58,12 @@ def jit_hoisted(fn: Callable, *example_args) -> Callable:
     def aot_compile():
         jitted.lower(consts, flat_ex).compile()
 
+    def memory_analysis():
+        """Compile-only HBM probe (the CLAUDE.md recipe): returns the
+        backend's CompiledMemoryStats without executing - evidence that a
+        program fits the chip before paying a real run."""
+        return jitted.lower(consts, flat_ex).compile().memory_analysis()
+
     wrapper.aot_compile = aot_compile
+    wrapper.memory_analysis = memory_analysis
     return wrapper

@@ -46,9 +46,15 @@ NVAR = 9
 # PARELAGMC_BATCH_TRACE=1 prints one stderr line per timed estimator batch
 # (walltime + batch-max iterations) - the instrument that root-caused the
 # round-3 level-1 cost anomaly (see SPE10_MLMC_EVIDENCE.txt forensics).
+# Read lazily per batch (so setting it after import works) and parsed
+# leniently ('1'/'true'/'yes'/'on'; advisor finding r4).
 import os as _os
 
-_BATCH_TRACE = bool(int(_os.environ.get("PARELAGMC_BATCH_TRACE", "0") or 0))
+
+def _batch_trace() -> bool:
+    return _os.environ.get("PARELAGMC_BATCH_TRACE", "").strip().lower() in {
+        "1", "true", "yes", "on",
+    }
 
 
 def jnp_broadcast_iters(iters, batch: int):
@@ -150,6 +156,12 @@ class MLMCManager:
         # the reference prints per-solve iteration counts when verbose).
         # Running sum over all batches; show_me reports sum / nsamples.
         self._iter_sums = np.zeros(self.nlevels)
+        # Walltime cost model uses only steady-state batches: each level's
+        # first executed batch bears the tunnel's program-load overhead
+        # (5-260 s measured) and must not enter C_l (VERDICT r4 weak 3).
+        from parelagmc_tpu.utils.timing import SteadyCostLedger
+
+        self._cost_ledger = SteadyCostLedger(self.nlevels)
 
         self._key = jax.random.PRNGKey(config.seed)
         self._counter = 0
@@ -441,7 +453,7 @@ class MLMCManager:
                 key = self._next_key(level)
                 with TimeManager.timed(timer_name):
                     q, qc, iters = jax.block_until_ready(step(key))
-                if _BATCH_TRACE:
+                if _batch_trace():
                     import sys
                     import time as _time
 
@@ -455,6 +467,9 @@ class MLMCManager:
                 self._iter_sums[level] += float(np.sum(np.asarray(iters)))
                 q = np.asarray(q, dtype=np.float64)
                 qc = np.asarray(qc, dtype=np.float64)
+                self._cost_ledger.add_batch(
+                    level, TimeManager.last(timer_name), q.size
+                )
                 y = q - qc
                 cost_dofs = self.M[level] + (
                     self.M[level + 1] if level < self.nlevels - 1 else 0.0
@@ -577,10 +592,15 @@ class MLMCManager:
         self.actual_mse = self.expected_discretization_error2 + self.ml_estimator_variance
 
         # Per-level cost model: measured wall time per sample or dofs.
+        # Walltime uses the steady-state ledger (first batch per level
+        # excluded - program load must not distort N_l; the all-inclusive
+        # TimeManager total remains the fallback until a second batch runs).
         if self.use_walltime_cost:
             for l in range(self.nlevels):
                 t = TimeManager.elapsed(f"MC Sample -- Level {l}")
-                self.cost[l] = t / max(int(self.level_nsamples[l]), 1)
+                self.cost[l] = self._cost_ledger.cost_per_sample(
+                    l, t, int(self.level_nsamples[l])
+                )
         else:
             self.cost = self.eC.copy()
         # Gamma reports the cost GROWTH rate cost ~ M^gamma (positive for any
@@ -622,6 +642,7 @@ class MLMCManager:
             eps2=self.eps2,
             seed=self.config.seed,
             cost_elapsed=cost_elapsed,
+            **self._cost_ledger.state(),
         )
 
     def load_state(self, path: str) -> None:
@@ -636,6 +657,7 @@ class MLMCManager:
         for l, t in enumerate(data["cost_elapsed"]):
             w = TimeManager.get_watch(f"MC Sample -- Level {l}")
             w.elapsed = float(t)
+        self._cost_ledger.load(data)
         self.compute_nsamples_mse()
 
     def resume(self, path: str) -> float:

@@ -115,6 +115,11 @@ class BayesRatioManager:
         self.ml_estimator_variance = math.inf
         self.expected_discretization_error2 = math.inf
         self.actual_mse = math.inf
+        # Steady-state walltime ledger (first batch per level excluded -
+        # program load must not enter C_l; see uq/managers.py).
+        from parelagmc_tpu.utils.timing import SteadyCostLedger
+
+        self._cost_ledger = SteadyCostLedger(n)
 
         self._key = jax.random.PRNGKey(config.seed + 101)
         self._counter = 0
@@ -252,6 +257,9 @@ class BayesRatioManager:
                 key = self._next_key(level)
                 with TimeManager.timed(timer_name):
                     r, rc, z, zc = jax.block_until_ready(step(key))
+                self._cost_ledger.add_batch(
+                    level, TimeManager.last(timer_name), int(np.asarray(r).size)
+                )
                 r = np.asarray(r, dtype=np.float64)
                 rc = np.asarray(rc, dtype=np.float64)
                 z = np.asarray(z, dtype=np.float64)
@@ -333,9 +341,13 @@ class BayesRatioManager:
         self.varYRatio = var(YRATIO2, YRATIO)
 
         if self.use_walltime_cost:
+            # Steady-state ledger: first batch per level (program load)
+            # excluded; all-inclusive timer is the single-batch fallback.
             for l in range(self.nlevels):
                 t = TimeManager.elapsed(f"Ratio MC Sample -- Level {l}")
-                self.cost[l] = t / max(int(self.level_nsamples[l]), 1)
+                self.cost[l] = self._cost_ledger.cost_per_sample(
+                    l, t, int(self.level_nsamples[l])
+                )
         else:
             self.cost = self.E[:, C].copy()
 
@@ -422,6 +434,7 @@ class BayesRatioManager:
             splitting=self.splitting,
             cost_elapsed=cost_elapsed,
             g_obs=(np.asarray(obs) if obs is not None else np.zeros(0)),
+            **self._cost_ledger.state(),
         )
 
     def load_state(self, path: str) -> None:
@@ -445,6 +458,7 @@ class BayesRatioManager:
         for l, t in enumerate(data["cost_elapsed"]):
             w = TimeManager.get_watch(f"Ratio MC Sample -- Level {l}")
             w.elapsed = float(t)
+        self._cost_ledger.load(data)
         self.compute_nsamples_mse()
 
     def resume(self, path: str) -> float:

@@ -9,10 +9,11 @@ more), using the first n = len(y) - 1 - skip_n_last pairs.
 One deliberate deviation from the reference, documented per CLAUDE.md: the
 reference returns the raw slope, which is NEGATIVE for convergent MLMC
 (|y| shrinks as the dof count x grows); this function returns the NEGATED
-slope, i.e. the positive decay rate `a` in y ~ C * x^(-a), so that the
-reported alpha/beta/gamma read as positive rates. The managers' bias
-formulas are written for this positive-rate convention (see
-uq/managers.py compute_nsamples_mse).
+slope, i.e. the positive decay rate `a` in y ~ C * x^(-a). Alpha/beta use
+this positive-DECAY convention directly; for gamma the managers negate the
+return again, back to the reference's raw-slope GROWTH convention
+(cost ~ M^gamma, positive for physical cost models;
+MLMC_Manager.cpp:384 - see uq/managers.py compute_nsamples_mse).
 """
 
 from __future__ import annotations

@@ -95,3 +95,69 @@ def _block_until_ready(tree) -> None:
         jax.block_until_ready(tree)
     except Exception:
         pass
+
+
+class SteadyCostLedger:
+    """Per-level walltime ledger that excludes each level's FIRST timed
+    batch in this process from the cost model.
+
+    Why: on this TPU tunnel the first execution of a compiled program pays
+    a program-load overhead of 5-260 s (measured; see CLAUDE.md and the r4
+    adaptive capture where a 260 s load landed in C_0 = 2.07 s/sample vs a
+    0.34 s/batch steady state). The reference's walltime cost model
+    (/root/reference/src/MLMC_Manager.cpp:367-383) has no such overhead
+    because there is no JIT; including it here distorts the optimal N_l
+    allocation exactly at small adaptive sample counts. The first batch's
+    walltime is ledgered separately (observable for diagnostics), and the
+    cost model uses only steady-state batches; when a level has run just
+    one batch the caller falls back to the all-inclusive timer.
+
+    Checkpoint/resume: the accumulated arrays round-trip through
+    state()/load(); the "first batch seen" marker is deliberately
+    per-process (a resumed run pays program load again, and its first
+    post-resume batch is excluded again).
+    """
+
+    def __init__(self, nlevels: int) -> None:
+        import numpy as np
+
+        self.time = np.zeros(nlevels)
+        self.nsamples = np.zeros(nlevels, dtype=np.int64)
+        self.first_time = np.zeros(nlevels)
+        self.first_nsamples = np.zeros(nlevels, dtype=np.int64)
+        self._seen_this_process: set = set()
+
+    def add_batch(self, level: int, dt: float, nsamples: int) -> None:
+        if level not in self._seen_this_process:
+            self._seen_this_process.add(level)
+            self.first_time[level] += float(dt)
+            self.first_nsamples[level] += int(nsamples)
+        else:
+            self.time[level] += float(dt)
+            self.nsamples[level] += int(nsamples)
+
+    def cost_per_sample(
+        self, level: int, fallback_time: float, fallback_n: int
+    ) -> float:
+        """Steady-state seconds per sample; falls back to the all-inclusive
+        (program-load-bearing) timer when no steady batch exists yet."""
+        if self.nsamples[level] > 0:
+            return float(self.time[level]) / float(self.nsamples[level])
+        return float(fallback_time) / max(int(fallback_n), 1)
+
+    def state(self) -> dict:
+        return {
+            "cost_ss_time": self.time,
+            "cost_ss_n": self.nsamples,
+            "cost_first_time": self.first_time,
+            "cost_first_n": self.first_nsamples,
+        }
+
+    def load(self, data) -> None:
+        """Restore from an npz mapping; silently keeps zeros for pre-ledger
+        checkpoints (their cost falls back to the all-inclusive timer)."""
+        if "cost_ss_time" in getattr(data, "files", data):
+            self.time = data["cost_ss_time"].copy()
+            self.nsamples = data["cost_ss_n"].copy()
+            self.first_time = data["cost_first_time"].copy()
+            self.first_nsamples = data["cost_first_n"].copy()
