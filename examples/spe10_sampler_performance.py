@@ -99,6 +99,10 @@ def main(argv=None):
                 "1200x2200x170 ft (z=84 default: embedded hierarchies need "
                 "divisibility by 2^refinements; SPE10's z=85 is odd)",
         "buffer": "1 coarse layer per side (embedded solve grid 68x228x92)",
+        "note": "coarse-level (L1/L2) sec/sample readings sit at this "
+                "tunnel's ~28 ms per-program dispatch floor divided by the "
+                "batch (CLAUDE.md) - they bound the floor, not the op; the "
+                "level-0 rows are the measurement",
         "variants": {},
     }
     for variant in variants:

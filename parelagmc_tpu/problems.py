@@ -204,12 +204,22 @@ def build_problem(cfg: ProblemConfig, kinv_ref: Optional[np.ndarray] = None) -> 
         cfg = _permute_config_axes(cfg, order)
         fine_ncells = tuple(fine_ncells[a] for a in order)
         fine_spacings = [fine_spacings[a] for a in order]
-    if cfg.embedding != "none" and any(
+    if cfg.embedding == "matching" and any(
         n % 2 ** cfg.refinements for n in fine_ncells
     ):
+        # Matching embedding needs the 0/1 cell selection to hold on EVERY
+        # level: with a non-dyadic axis both hierarchies merge their
+        # trailing layer, but the original mesh merges at its own end while
+        # the embedded mesh merges inside the buffer - the interiors stop
+        # aligning. Projection embedding has no such constraint: the mortar
+        # coupling G is the exact cell-overlap operator recomputed on each
+        # level pair (mortar_coupling below), so non-dyadic grids like the
+        # Egg model's z=7 are fine (round-5; reference egg factories
+        # src/MeshUtilities.cpp:157+).
         raise ValueError(
-            "embedding requires per-axis cell counts divisible by "
-            f"2^{cfg.refinements} so the embedded hierarchies stay aligned"
+            "matching embedding requires per-axis cell counts divisible by "
+            f"2^{cfg.refinements} so the embedded hierarchies stay aligned "
+            "(use embedding='projection' for non-dyadic grids)"
         )
     fine = make_box_mesh(fine_ncells, spacings=fine_spacings)
     hier = build_geometric_hierarchy_from_fine(fine, cfg.nlevels)

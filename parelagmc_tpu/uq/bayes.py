@@ -76,8 +76,12 @@ class BayesianInverseProblem:
                 g0[i] = np.where(mask, fine.W, 0.0)
         gs: List[np.ndarray] = [g0]
         for l in range(self.nlevels - 1):
+            # Sparse restriction g_{l+1} = g_l P: P.toarray() would be a
+            # dense (n_fine, n_coarse) materialization - ~600 GB at SPE10
+            # scale (round-5 fix; reference restricts through hypre SpMV,
+            # BayesianInverseProblem.cpp:44-104).
             P_l2 = hierarchy.p_l2(l)
-            gs.append(gs[l] @ P_l2.toarray())
+            gs.append(np.asarray((P_l2.T @ gs[l].T).T))
         # Normalized functionals: G_i = <g_i, p> / sum(g_i).
         self.g_obs = [
             jnp.asarray(g / g.sum(axis=1, keepdims=True), dtype=dtype) for g in gs
