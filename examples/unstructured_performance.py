@@ -149,7 +149,15 @@ def main(argv=None):
     p.add_argument("--solver", default="hybrid-cg")
     p.add_argument("--compare", action="store_true",
                    help="also time minres-bj and minres-coefmg")
-    p.add_argument("--rtol", type=float, default=1e-5)
+    p.add_argument("--rtol", type=float, default=1e-5,
+                   help="reachable in f32 at refine-4 scale since the "
+                        "algebraic hybridization of agglomerated levels "
+                        "(68-102 pair iterations, conv 100%%); the old "
+                        "MINRES coarse path stalled below 1e-4 in f32")
+    p.add_argument("--max-iterations", type=int, default=800,
+                   help="batch-max Krylov budget: the cold agglomerated "
+                        "coarse MINRES needs ~370 at batch 8 and the "
+                        "batch-128 worst sample more")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--corlen", type=float, default=0.3)
     p.add_argument("--variance", type=float, default=0.25)
@@ -185,7 +193,7 @@ def main(argv=None):
         )
         cfg.darcy_solver.name = name
         cfg.darcy_solver.relative_tolerance = args.rtol
-        cfg.darcy_solver.max_iterations = 400
+        cfg.darcy_solver.max_iterations = args.max_iterations
         t0 = time.perf_counter()
         solver = UnstructuredDarcySolver(hier, cfg, dtype)
         return cfg, solver, time.perf_counter() - t0
@@ -271,7 +279,7 @@ def main(argv=None):
                     dtype=args.dtype,
                 )
                 cfg_v.darcy_solver.relative_tolerance = args.rtol
-                cfg_v.darcy_solver.max_iterations = 400
+                cfg_v.darcy_solver.max_iterations = args.max_iterations
                 sol_v = UnstructuredDarcySolver(hier, cfg_v, dtype)
             else:
                 _, sol_v, _ = make(name)

@@ -170,6 +170,129 @@ def build_hybrid_level(lvl, ess: np.ndarray, rhs: np.ndarray, obs: np.ndarray,
     )
 
 
+def build_hybrid_level_algebraic(
+    level, ess: np.ndarray, rhs: np.ndarray, obs: np.ndarray,
+    dtype=jnp.float32,
+) -> Optional[HybridLevel]:
+    """Algebraic hybridization of a Galerkin face-form level - the
+    agglomerated coarse levels whose MINRES saddle solves were the
+    unstructured stack's bottleneck (round-5 measurement: the cold coarse
+    member of a cube_tet refine-4 pair needed ~370 MINRES iterations vs
+    ~70 for the hybridized fine level).
+
+    Works because agglomerate_level assembles the coarse RT mass PER
+    AGGLOMERATE (fem/agglomeration.py Mc_cell): M_c(w) = sum_a w_a A_a
+    exactly, with A_a supported on agglomerate a's faces - the same
+    element-block structure geometric hybridization exploits, recursively
+    true for agglomerates of agglomerates. Differences from the geometric
+    builder (build_hybrid_level): the local blocks come from the level's
+    mass triplets instead of simplex quadrature; everything stays in the
+    GLOBAL orientation basis, so the divergence row is b_e = cell_signs
+    (not all-ones) and the flux-continuity constraint u_owner - u_second
+    = 0 carries the +-1 orientation through c_mask / lam_mask (the
+    condensation algebra in hybrid_solve is basis-agnostic; derivation in
+    its docstring applies verbatim with general b_e). Reference analog:
+    the element-matrix rescaling hybridization the reference applies on
+    ANY ParELAG level, /root/reference/src/DarcySolver.cpp:586-626.
+
+    Returns None (MINRES fallback) if the per-cell blocks do not tile the
+    mass, a kept block is not SPD, or interior velocity loads exist."""
+    from parelagmc_tpu.fem.agglomeration import _level_mass_triplets
+
+    cf = np.asarray(level.cell_faces, dtype=np.int64)
+    cs = np.asarray(level.cell_signs, dtype=np.float64)
+    n_u, n_s = level.n_u, level.n_s
+    ne, nloc = cf.shape
+    try:
+        mr, mc, mv, mcell = _level_mass_triplets(level)
+    except (AttributeError, ValueError):
+        return None
+    rows_cf = cf[mcell]
+    si = np.argmax(rows_cf == mr[:, None], axis=1)
+    sj = np.argmax(rows_cf == mc[:, None], axis=1)
+    nz = mv != 0.0
+    ok = (
+        (cf[mcell, si] == mr) & (cf[mcell, sj] == mc)
+        & (cs[mcell, si] != 0.0) & (cs[mcell, sj] != 0.0)
+    )
+    if not ok[nz].all():
+        return None  # a mass entry outside its cell's face list
+    Mt = np.zeros((ne, nloc, nloc))
+    np.add.at(Mt, (mcell[nz], si[nz], sj[nz]), mv[nz])
+
+    km = ((cs != 0.0) & ~ess[cf]).astype(np.float64)
+    Mm = Mt * km[:, :, None] * km[:, None, :]
+    idx = np.arange(nloc)
+    Mm[:, idx, idx] += 1.0 - km
+    try:
+        if np.linalg.eigvalsh(Mm).min() <= 0.0:
+            return None  # kept block not SPD: condensation invalid
+        Minv = np.linalg.inv(Mm)
+    except np.linalg.LinAlgError:
+        return None
+    b = cs * km
+    Mb = np.einsum("eij,ej->ei", Minv, b)
+    s_den = np.einsum("ei,ei->e", b, Mb)
+    if np.any(s_den <= 0.0):
+        return None
+    A_unit = (
+        Minv - Mb[:, :, None] * Mb[:, None, :] / s_den[:, None, None]
+    ) * km[:, :, None] * km[:, None, :]
+    r_til = Mb / s_den[:, None]
+
+    interior = level.face_signs[:, 1] != 0.0
+    lam_of_face = np.full(n_u, -1, dtype=np.int64)
+    lam_of_face[interior] = np.arange(int(interior.sum()))
+    n_lam = int(interior.sum())
+    if n_lam == 0:
+        # A single agglomerate has no interior faces - no multiplier
+        # system to condense to; the MINRES path handles the tiny level.
+        return None
+    c_idx = lam_of_face[cf]
+    present = (c_idx >= 0) & (km > 0.0)
+    # Signed continuity: owner copy +1, second copy -1 (global basis);
+    # cell_signs is exactly that orientation.
+    c_mask = np.where(present, cs, 0.0)
+    c_idx = np.maximum(c_idx, 0)
+
+    faces = np.arange(n_u)
+    e0 = level.face_cells[:, 0]
+    slot0 = np.argmax(cf[e0] == faces[:, None], axis=1)
+    own_src = e0 * nloc + slot0
+    fi = np.nonzero(interior)[0]
+    e1 = level.face_cells[fi, 1]
+    slot1 = np.argmax(cf[e1] == fi[:, None], axis=1)
+    lam_src = np.stack([own_src[fi], e1 * nloc + slot1], axis=1)
+    lam_mask = np.stack([cs[e0[fi], slot0[fi]], cs[e1, slot1]], axis=1)
+
+    rhs_u = np.asarray(rhs[:n_u], dtype=np.float64)
+    if np.any(rhs_u[interior] != 0.0):
+        return None  # interior velocity loads would double-count
+    # Global basis: local rhs is the face value itself (the geometric
+    # builder's cell_signs factor converts to its outward basis).
+    f_loc = rhs_u[cf] * km
+    g_loc = np.asarray(rhs[n_u:], dtype=np.float64)
+
+    j = jnp.asarray
+    return HybridLevel(
+        n_lam=n_lam,
+        n_s=n_s,
+        nloc=nloc,
+        A_unit=j(A_unit, dtype=dtype),
+        r_til=j(r_til, dtype=dtype),
+        s_den=j(s_den, dtype=dtype),
+        c_idx=j(c_idx, dtype=jnp.int32),
+        c_mask=j(c_mask, dtype=dtype),
+        f_loc=j(f_loc, dtype=dtype),
+        g_loc=j(g_loc, dtype=dtype),
+        lam_src=j(lam_src, dtype=jnp.int32),
+        lam_mask=j(lam_mask, dtype=dtype),
+        own_src=j(own_src, dtype=jnp.int32),
+        obs_u=j(np.asarray(obs[:n_u]), dtype=dtype),
+        obs_p=j(np.asarray(obs[n_u:]), dtype=dtype),
+    )
+
+
 def _face_sum(H: HybridLevel, ue: jnp.ndarray) -> jnp.ndarray:
     """(batch, ne, nloc) element-slot values -> (batch, n_lam) sums over
     the (<= 2) slots of each multiplier face."""
@@ -188,6 +311,8 @@ def hybrid_solve(
     atol: float = 0.0,
     restart_every: int = 0,
     aux_cycle=None,
+    lam0=None,
+    return_lam: bool = False,
 ):
     """Solve the hybridized system for a batch of coefficients w
     (batch, n_s). Returns (Q, info, p_elem) with p_elem the recovered
@@ -223,12 +348,19 @@ def hybrid_solve(
     )
 
     # Jacobi: diag H = sum over the slots of each face of (1/w_e) A[slot,slot].
+    # PRESENCE masks (mask^2), not the signed masks: the algebraic builder
+    # carries the +-1 continuity orientation in lam_mask/c_mask, and
+    # diag H_ff = sum C^2 A[slot,slot]/w is orientation-free (a signed sum
+    # here made the Jacobi diagonal ~0/negative and broke CG on the
+    # agglomerated levels; geometric levels have 0/1 masks, unchanged).
+    lam_abs = H.lam_mask * H.lam_mask
+    c_abs = H.c_mask * H.c_mask
     a_dd = jnp.diagonal(H.A_unit, axis1=-2, axis2=-1)  # (ne, nloc)
     dflat = (a_dd * winv[..., None]).reshape(w.shape[:-1] + (-1,))
     dg = jnp.take(dflat, H.lam_src.reshape(-1), axis=-1).reshape(
         dflat.shape[:-1] + H.lam_src.shape
     )
-    diag = jnp.maximum(jnp.sum(dg * H.lam_mask, axis=-1), 1e-30)
+    diag = jnp.maximum(jnp.sum(dg * lam_abs, axis=-1), 1e-30)
     # Constant-mode deflation: every element block annihilates local
     # constants (A^unit b = 0), so H is nearly singular on the constant
     # multiplier vector (anchored only through boundary elements) - the
@@ -245,16 +377,18 @@ def hybrid_solve(
         lam_elems = H.lam_src // H.nloc  # (n_lam, 2) adjacent elements
 
         def pi_apply(r_cell):  # cells -> multipliers (average of the two)
+            # lambda is the interface PRESSURE trace - orientation-free -
+            # so the interpolation uses presence masks (see diag note).
             g = jnp.take(r_cell, lam_elems.reshape(-1), axis=-1).reshape(
                 r_cell.shape[:-1] + lam_elems.shape
             )
-            return 0.5 * jnp.sum(g * H.lam_mask, axis=-1)
+            return 0.5 * jnp.sum(g * lam_abs, axis=-1)
 
         def pi_t_apply(r_lam):  # multipliers -> cells
             g = jnp.take(r_lam, H.c_idx.reshape(-1), axis=-1).reshape(
                 r_lam.shape[:-1] + H.c_idx.shape
             )
-            return 0.5 * jnp.sum(g * H.c_mask, axis=-1)
+            return 0.5 * jnp.sum(g * c_abs, axis=-1)
 
         def prec(r):
             return (
@@ -274,6 +408,7 @@ def hybrid_solve(
         apply_H,
         rhs,
         prec=prec,
+        x0=lam0,
         max_iters=max_iters,
         rtol=rtol,
         atol=atol,
@@ -287,4 +422,9 @@ def hybrid_solve(
     u_flat = ue.reshape(ue.shape[:-2] + (-1,))
     u_glob = jnp.take(u_flat, H.own_src, axis=-1)
     Q = jnp.sum(u_glob * H.obs_u, axis=-1) + jnp.sum(pe * H.obs_p, axis=-1)
+    if return_lam:
+        # Multiplier returned for mean-field warm starts (lam0 above):
+        # the trace system's solution, cached once per level by the
+        # unstructured solver (cf. physics/darcy.py _meanfield_start).
+        return Q, info, pe, lam
     return Q, info, pe

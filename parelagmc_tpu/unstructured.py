@@ -742,6 +742,12 @@ class UnstructuredDarcySolver:
                 )
             )
         self.solver_cfg = config.darcy_solver
+        # Mean-field warm starts (config.meanfield_x0, cf. physics/darcy.py
+        # _meanfield_start): per-level cached w == 1 reference solution -
+        # the saddle vector for MINRES levels, the trace multiplier for
+        # hybridized levels.
+        self._mf_cache = {}
+        self._mf_building: set = set()
         # Hybridized SPD fast path ("hybrid-cg"): element-local condensation
         # to the face-multiplier system, per-sample coefficient entering as
         # an exact 1/w_e rescaling of the unit element blocks (the
@@ -750,12 +756,24 @@ class UnstructuredDarcySolver:
         # (agglomerated coarse levels) keep the MINRES path.
         self._hybrid = [None] * self.hierarchy.nlevels
         if config.darcy_solver.name == "hybrid-cg":
-            from parelagmc_tpu.physics.hybrid import build_hybrid_level
+            from parelagmc_tpu.physics.hybrid import (
+                build_hybrid_level,
+                build_hybrid_level_algebraic,
+            )
 
             for l, lvl in enumerate(levels):
-                self._hybrid[l] = build_hybrid_level(
+                h = build_hybrid_level(
                     lvl, lvl.ess_faces(ess_attr), rhs_np[l], obs_np[l], dtype
                 )
+                if h is None:
+                    # Agglomerated levels: algebraic hybridization from the
+                    # per-agglomerate Galerkin mass blocks (round 5; the
+                    # MINRES fallback cost ~5x the hybrid iterations).
+                    h = build_hybrid_level_algebraic(
+                        lvl, lvl.ess_faces(ess_attr), rhs_np[l], obs_np[l],
+                        dtype,
+                    )
+                self._hybrid[l] = h
         # Block prolongations for warm-started pair solves.
         self._prolong_rt = [
             pack_csr_to_ell(P.tocsr(), dtype) for P in self.hierarchy.P_rt
@@ -858,6 +876,10 @@ class UnstructuredDarcySolver:
         x0=None,
         return_solution: bool = False,
     ):
+        mf = (
+            getattr(self.solver_cfg, "meanfield_x0", False)
+            and level not in self._mf_building
+        )
         if (
             self._hybrid[level] is not None
             and x0 is None
@@ -866,6 +888,12 @@ class UnstructuredDarcySolver:
             from parelagmc_tpu.physics.hybrid import hybrid_solve
 
             aux_cycle = self._coefmg_cycle(level, w)
+            lam0 = None
+            if mf:
+                lam_ref = self._meanfield_start(level)
+                lam0 = jnp.broadcast_to(
+                    lam_ref, w.shape[:-1] + lam_ref.shape[-1:]
+                )
             Q, info, pe = hybrid_solve(
                 self._hybrid[level],
                 w,
@@ -874,6 +902,7 @@ class UnstructuredDarcySolver:
                 atol=self.solver_cfg.absolute_tolerance,
                 restart_every=self.solver_cfg.restart_every,
                 aux_cycle=aux_cycle,
+                lam0=lam0,
             )
             cost = float(self.num_dofs(level))
             if return_pressure:
@@ -924,6 +953,9 @@ class UnstructuredDarcySolver:
                     [r[..., :n_u] * inv_dM, r[..., n_u:] * inv_dS], axis=-1
                 )
 
+        if x0 is None and mf:
+            x_ref = self._meanfield_start(level)
+            x0 = jnp.broadcast_to(x_ref, w.shape[:-1] + x_ref.shape[-1:])
         b = jnp.broadcast_to(L["rhs"], w.shape[:-1] + L["rhs"].shape)
         x, info = minres(
             apply_A,
@@ -941,3 +973,68 @@ class UnstructuredDarcySolver:
         if return_pressure:
             return Q, cost, info, -x[..., n_u:]
         return Q, cost, info
+
+    def _meanfield_start(self, level: int):
+        """Mean-field initial iterate (config.meanfield_x0): one reference
+        solve with w == 1 per level, cached - every cold solve then starts
+        from it (the structured production default; measured 1.79x on the
+        SPE10 coarsest level, physics/darcy.py _meanfield_start).
+
+        MEASURED NEGATIVE on this unstructured stack (round 5, cube_tet
+        refine-4 f32): the saddle/trace warm start does NOT transfer -
+        cold coarse MINRES 370 -> 404 iterations with the full mean
+        vector, 410 with pressure-only, and the L1 pair conv fraction
+        dropped to 0.88; at contrast ~1e2 the mean-field velocity is far
+        from the per-sample one and ||b - A x0|| exceeds ||b||. The flag
+        therefore stays OFF by default for unstructured runs (the wiring
+        exists for config parity); the shipped coarse-level fix is the
+        algebraic hybridization (physics/hybrid.py
+        build_hybrid_level_algebraic: 370 -> 54 pair iterations). For
+        MINRES levels the cache holds the saddle vector; for hybridized
+        levels the trace multiplier (hybrid_solve lam0). Runs under
+        jax.ensure_compile_time_eval() because the first solve_fwd call is
+        typically itself being traced (jit_hoisted manager steps), with
+        the cached entry indexed INSIDE the scope (tracer-leak class, see
+        the structured docstring). The `_mf_building` guard stops the
+        setup solve from recursing into itself."""
+        if level in self._mf_cache:
+            return self._mf_cache[level]
+        import jax
+
+        self._mf_building.add(level)
+        try:
+            with jax.ensure_compile_time_eval():
+                ones = jnp.ones((1, self._lv[level]["n_s"]), dtype=self.dtype)
+                if self._hybrid[level] is not None:
+                    from parelagmc_tpu.physics.hybrid import hybrid_solve
+
+                    aux = self._coefmg_cycle(level, ones)
+                    lam = None
+                    for _ in range(8):
+                        _, info, _, lam = hybrid_solve(
+                            self._hybrid[level],
+                            ones,
+                            max_iters=self.solver_cfg.max_iterations,
+                            rtol=self.solver_cfg.relative_tolerance,
+                            atol=self.solver_cfg.absolute_tolerance,
+                            restart_every=self.solver_cfg.restart_every,
+                            aux_cycle=aux,
+                            lam0=lam,
+                            return_lam=True,
+                        )
+                        if bool(np.asarray(info.converged).all()):
+                            break
+                    entry = lam[0]
+                else:
+                    x = None
+                    for _ in range(8):
+                        _, _, info, x = self.solve_fwd(
+                            level, ones, x0=x, return_solution=True
+                        )
+                        if bool(np.asarray(info.converged).all()):
+                            break
+                    entry = x[0]
+        finally:
+            self._mf_building.discard(level)
+        self._mf_cache[level] = entry
+        return entry
