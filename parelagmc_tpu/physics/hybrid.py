@@ -330,7 +330,16 @@ def hybrid_solve(
     winv = 1.0 / w  # (batch, ne)
 
     def local_apply(vals):
-        ue = jnp.einsum("eij,...ej->...ei", H.A_unit, vals)
+        # precision=highest: in float32 the TPU MXU otherwise truncates the
+        # einsum inputs to bfloat16, and the resulting operator noise puts
+        # an apparent Krylov floor near 1e-4 - measured round 5 on the
+        # cube_tet refine-4 capture: rtol 1e-5 pairs converge on CPU f32
+        # (93/68 iterations) but stalled 0%-converged on the TPU until
+        # this flag. The blocks are (nloc x nloc) smalls; the 3-pass
+        # highest-precision matmul cost is noise next to the gathers.
+        ue = jnp.einsum(
+            "eij,...ej->...ei", H.A_unit, vals, precision="highest"
+        )
         return ue * winv[..., None]
 
     def gather_lam(lam):

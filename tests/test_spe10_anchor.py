@@ -54,3 +54,32 @@ def test_spe10_scaled_anchor():
     # Telescoping consistency and multilevel variance decay on this grid.
     assert mgr.consistency.max() < 0.1
     assert mgr.varY[0] < mgr.varY[1] < mgr.varY[2]
+
+
+def test_spe10_scaled_ratio_anchor(tmp_path, monkeypatch):
+    """Bayesian ratio MLMC anchor on the scaled SPE10 class (round-4
+    VERDICT next-round item 2; reference ML_BayesRatio_Manager.hpp:314-573):
+    pins the posterior estimate of examples/spe10_ratio_mlmc.py --grid
+    16,32,8, CPU float64, fixed seed + synthetic obs data, so the
+    at-scale SPE10_RATIO_EVIDENCE.json capture has a CI-guarded
+    counterpart."""
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    from examples import spe10_ratio_mlmc
+
+    est, mgr = spe10_ratio_mlmc.main(
+        ["--grid", "16,32,8", "--refinements", "1", "--samples", "8",
+         "--batch", "8", "--dtype", "float64",
+         "--out", str(tmp_path / "ratio_anchor.json")]
+    )
+    # Pinned 2026-08-20 (f64, deterministic counter PRNG + seed-17 obs
+    # draw): posterior E[Q | y] for the three-well setup.
+    np.testing.assert_allclose(est, 354.436, rtol=2e-3)
+    assert np.all(mgr.level_nsamples == 8)
+    # Likelihoods must be nondegenerate (Z bounded away from 0): a broken
+    # obs pipeline collapses Z and blows the ratio up.
+    from parelagmc_tpu.uq.ratio_managers import Z
+
+    assert mgr.E[:, Z].min() > 0.01
