@@ -252,6 +252,23 @@ class BayesRatioManager:
             if level not in self._compiled:
                 step.aot_compile()  # compiles with a dummy key; no RNG counter used
                 self._compiled.add(level)
+            if (
+                self.use_walltime_cost
+                and nbatches == 1
+                and level not in self._cost_ledger._seen_this_process
+            ):
+                # Discarded warmup batch so the single real batch becomes a
+                # steady-state cost sample (see uq/managers.py; out-of-band
+                # key, statistics and PRNG counter untouched).
+                import time as _time
+
+                t0 = _time.perf_counter()
+                jax.block_until_ready(
+                    step(jax.random.fold_in(self._key, 2 ** 31 - 1 - level))
+                )
+                self._cost_ledger.add_batch(
+                    level, _time.perf_counter() - t0, self.level_batch[level]
+                )
             coarsest = level == self.nlevels - 1
             for _ in range(nbatches):
                 key = self._next_key(level)

@@ -245,17 +245,32 @@ def test_walltime_cost_excludes_program_load(tmp_path, monkeypatch):
     mgr2.close()
 
 
-def test_walltime_cost_single_batch_fallback(tmp_path):
-    """With only one batch taken per level there is no steady-state sample
-    yet: the cost model falls back to the all-inclusive timer rather than
-    reporting zero (which would break the sqrt(V/C) allocation)."""
+def test_walltime_cost_single_batch_warmup(tmp_path):
+    """A level whose round takes exactly ONE batch gets a discarded
+    out-of-band warmup batch first, so the real batch is a steady-state
+    cost sample (r5: the adaptive recapture's one-batch level 1 otherwise
+    fell back to the load-bearing timer, 6x the steady C_1). Statistics
+    and the PRNG stream are untouched: the estimate matches a dofs-cost
+    run of the identical config."""
     TimeManager.reset()
     hier, sampler, solver, cfg = build_problem(
         nlevels=2, tmp_path=tmp_path, cost_model="walltime", seed=6
     )
     mgr = MLMCManager(solver, sampler, cfg)
-    mgr.init_run([16, 16])  # exactly one batch per level
-    assert np.all(mgr._cost_ledger.nsamples == 0)
+    mgr.init_run([16, 16])  # one REAL batch per level (+1 warmup each)
+    # The real batch landed in the steady ledger; warmup in the first slot.
+    np.testing.assert_array_equal(mgr._cost_ledger.nsamples, [16, 16])
+    np.testing.assert_array_equal(mgr._cost_ledger.first_nsamples, [16, 16])
     assert np.all(mgr.cost > 0.0)
     assert np.all(np.isfinite(mgr.cost))
+    est_walltime = mgr.estimate
     mgr.close()
+
+    TimeManager.reset()
+    hier, sampler, solver, cfg = build_problem(
+        nlevels=2, tmp_path=tmp_path, cost_model="dofs", seed=6
+    )
+    mgr2 = MLMCManager(solver, sampler, cfg)
+    mgr2.init_run([16, 16])
+    np.testing.assert_allclose(est_walltime, mgr2.estimate, rtol=1e-12)
+    mgr2.close()
