@@ -83,3 +83,23 @@ def test_spe10_scaled_ratio_anchor(tmp_path, monkeypatch):
     from parelagmc_tpu.uq.ratio_managers import Z
 
     assert mgr.E[:, Z].min() > 0.01
+
+
+def test_spe10_scaled_ratio_splitting_anchor(tmp_path, monkeypatch):
+    """Splitting-estimator (E[R/Z]) counterpart of the ratio anchor above
+    (reference ML_BayesRatio_Splitting_Manager.hpp:26-29): same scaled
+    SPE10 grid/stream, posterior via the divide-then-subtract telescoping.
+    The two estimators agree to ~1% here (354.4 vs 350.8) - a
+    cross-estimator consistency check the reference lacks."""
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    from examples import spe10_ratio_mlmc
+
+    est, mgr = spe10_ratio_mlmc.main(
+        ["--grid", "16,32,8", "--refinements", "1", "--samples", "8",
+         "--batch", "8", "--dtype", "float64", "--splitting",
+         "--out", str(tmp_path / "ratio_split_anchor.json")]
+    )
+    np.testing.assert_allclose(est, 350.767, rtol=2e-3)
